@@ -1,0 +1,17 @@
+"""Test environment: force CPU with an 8-device virtual mesh.
+
+SURVEY.md §4 implication: exercise the pjit/shard_map paths without TPUs via
+`--xla_force_host_platform_device_count=8`. Must run before jax initializes.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon/TPU default
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
