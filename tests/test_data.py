@@ -1,0 +1,180 @@
+import numpy as np
+import pytest
+
+from mds_tpu.data.base import SyntheticDataset
+from mds_tpu.data.labels import get_spec, load_specs
+from mds_tpu.data.loader import EvalLoader, MultiDatasetTrainLoader
+from mds_tpu.data.sampler import InfiniteStream, RepeatedDistSampler
+from mds_tpu.data.transforms import (
+    ColorJitter,
+    Compose,
+    RandomHorizontalFlip,
+    RandomResizedCrop,
+    TransformationTrain,
+    resize_label,
+)
+
+
+# --------------------------------------------------------------- label specs
+def test_specs_load_all():
+    specs = load_specs()
+    expected = {
+        "cityscapes": 19, "camvid": 11, "a2d2": 36, "mapillary": 64,
+        "sunrgbd": 37, "bdd100k": 19, "idd": 26, "ade20k": 150,
+        "cocostuff": 133, "wilddash2": 25, "scannet": 20,
+    }
+    for name, n in expected.items():
+        assert specs[name].n_cats == n, name
+
+
+def test_cityscapes_lut_golden():
+    # Known cityscapes id→trainId facts (road id=7→0, car id=26→13,
+    # unlabeled id=0→255, license plate id=-1 wraps to index 255).
+    spec = get_spec("cityscapes")
+    lut = spec.lut_eval
+    assert lut[7] == 0
+    assert lut[26] == 13
+    assert lut[33] == 18
+    assert lut[0] == 255
+    assert lut[255] == 255  # wrapped -1 entry
+    # train LUT maps 255-train-ids to n_cats
+    assert spec.lut_train[0] == 19
+
+
+def test_lut_apply_shape():
+    spec = get_spec("camvid")
+    lb = np.random.default_rng(0).integers(0, 32, (16, 16)).astype(np.uint8)
+    out = spec.lut_eval[lb]
+    assert out.shape == lb.shape and out.dtype == np.uint8
+
+
+# --------------------------------------------------------------- transforms
+def _sample(h=40, w=60):
+    g = np.random.default_rng(0)
+    return dict(
+        im=g.integers(0, 256, (h, w, 3)).astype(np.uint8),
+        lb=g.integers(0, 19, (h, w)).astype(np.uint8),
+    )
+
+
+def test_rrc_output_shape_and_pad_value():
+    rng = np.random.default_rng(1)
+    t = RandomResizedCrop(scales=(0.5, 0.5), size=(64, 64), min_side=None)
+    out = t(_sample(40, 60), rng)
+    assert out["im"].shape == (64, 64, 3)
+    assert out["lb"].shape == (64, 64)
+    # downscale of a 40x60 → 20x30 then pad to ≥64: label pad must be 255
+    assert (out["lb"] == 255).any()
+
+
+def test_rrc_min_side_upscale_rule():
+    rng = np.random.default_rng(2)
+    t = RandomResizedCrop(scales=(1.0, 1.0), size=(32, 32), min_side=1080)
+    out = t(_sample(40, 60), rng)
+    # with min_side=1080 a 40x60 image is scaled by 27× → no padding needed
+    assert out["im"].shape == (32, 32, 3)
+    assert not (out["lb"] == 255).all()
+
+
+def test_flip_keep_probability_semantics():
+    s = _sample(8, 8)
+    always_flip = RandomHorizontalFlip(p=0.0)  # rand<0 never → always flips
+    out = always_flip(dict(s), np.random.default_rng(0))
+    np.testing.assert_array_equal(out["im"], s["im"][:, ::-1])
+    never_flip = RandomHorizontalFlip(p=1.1)
+    out2 = never_flip(dict(s), np.random.default_rng(0))
+    np.testing.assert_array_equal(out2["im"], s["im"])
+
+
+def test_colorjitter_luts_match_formula():
+    im = np.arange(256, dtype=np.uint8).reshape(16, 16, 1).repeat(3, axis=2)
+    bright = ColorJitter.adj_brightness(im, 1.5)
+    want = np.clip(np.arange(256) * 1.5, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(bright[..., 0].ravel(), want)
+    contr = ColorJitter.adj_contrast(im, 0.5)
+    want_c = np.clip(74 + (np.arange(256) - 74) * 0.5, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(contr[..., 0].ravel(), want_c)
+
+
+def test_saturation_identity_at_zero():
+    s = _sample(8, 8)
+    out = ColorJitter.adj_saturation(s["im"], 0.0)
+    # rate=0 → M = ones/3 … actually M=(I*1 + (1-0) off-diag)=all-ones → grey
+    grey = s["im"].astype(np.float32).mean(axis=2, keepdims=True)
+    assert np.abs(out.astype(np.float32) - grey).max() <= 1.0
+
+
+def test_resize_label_nearest_exact():
+    lb = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+    up = resize_label(lb, (4, 4))
+    assert up.shape == (4, 4)
+    assert set(np.unique(up)) == {1, 2, 3, 4}
+    np.testing.assert_array_equal(up[:2, :2], np.array([[1, 1], [1, 2]]) * 0 + lb[0, 0])
+
+
+def test_train_bundle_shapes():
+    t = TransformationTrain(scales=[0.5, 1.5], cropsize=(32, 48), min_side=None)
+    out = t(_sample(100, 100), np.random.default_rng(3))
+    assert out["im"].shape == (32, 48, 3)
+    assert out["lb"].shape == (32, 48)
+
+
+# --------------------------------------------------------------- sampler
+def test_repeated_dist_sampler_partition():
+    # rank-strided partition covering exactly num_imgs across replicas
+    world = 4
+    per_rank = []
+    for r in range(world):
+        s = RepeatedDistSampler(dataset_len=10, num_imgs=100, num_replicas=world, rank=r)
+        idx = s.indices()
+        assert len(idx) == 25
+        per_rank.append(idx)
+    # deterministic: same call twice → same indices
+    np.testing.assert_array_equal(
+        per_rank[0],
+        RepeatedDistSampler(10, 100, world, 0).indices(),
+    )
+    # ranks see disjoint positions of the global stream
+    allidx = np.stack(per_rank, axis=1).ravel()
+    assert len(allidx) == 100
+    # first 10 entries of the global stream are a permutation of range(10)
+    assert sorted(allidx[:10].tolist()) == list(range(10))
+
+
+def test_sampler_ba_repeats():
+    s = RepeatedDistSampler(10, 40, num_replicas=1, rank=0, ba=True)
+    idx = s.indices()
+    # with ba, indices repeat in blocks of max(4, world)=4
+    assert len(idx) == 40
+    assert all(len(set(idx[i : i + 4])) == 1 for i in range(0, 16, 4))
+
+
+def test_infinite_stream_covers_epoch():
+    st = InfiniteStream(8, num_replicas=2, rank=0)
+    got = [next(st) for _ in range(8)]  # two epochs of 4
+    assert len(got) == 8
+
+
+# --------------------------------------------------------------- loader
+def test_multidataset_loader_batch_layout():
+    t = TransformationTrain([0.75, 1.25], (16, 16), min_side=None)
+    ds0 = SyntheticDataset(trans_func=t, n_cats=8, size=(24, 24), length=6, seed=0)
+    ds1 = SyntheticDataset(trans_func=t, n_cats=4, size=(20, 28), length=5, seed=1)
+    loader = MultiDatasetTrainLoader([ds0, ds1], [3, 2], num_threads=2, prefetch=2)
+    try:
+        for _ in range(3):
+            b = next(loader)
+            assert b.im.shape == (5, 16, 16, 3) and b.im.dtype == np.uint8
+            assert b.lb.shape == (5, 16, 16) and b.lb.dtype == np.uint8
+            np.testing.assert_array_equal(b.dataset_ids, [0, 0, 0, 1, 1])
+    finally:
+        loader.close()
+
+
+def test_eval_loader_sharding():
+    ds = SyntheticDataset(n_cats=8, size=(16, 16), length=10)
+    l0 = EvalLoader(ds, rank=0, world=2)
+    l1 = EvalLoader(ds, rank=1, world=2)
+    assert len(l0) == 5 and len(l1) == 5
+    batches = list(l0)
+    assert batches[0].im.shape == (1, 16, 16, 3)
