@@ -1,0 +1,78 @@
+"""OHEM cross-entropy losses.
+
+Reference: lib/loss/ohem_ce_loss.py — OhemCELoss (:13-34) and the
+multi-dataset MdsOhemCELoss (:36-90) whose hard-pixel pool (and hence the
+n_min floor) is global across the concatenated per-dataset losses.
+
+Logits here are NHWC (…, n_classes); labels are integer maps with
+ignore=255. Per-pixel CE is computed in float32 regardless of logit dtype.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from mds_tpu.ops.ohem import ohem_mean, ohem_mean_exact
+
+
+def cross_entropy_per_pixel(
+    logits: jax.Array, labels: jax.Array, ignore: int = 255
+):
+    """(per-pixel CE losses, valid mask). logits (…, C), labels (…,)."""
+    logits = logits.astype(jnp.float32)
+    valid = labels != ignore
+    safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    true_logit = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    ce = logz - true_logit
+    return jnp.where(valid, ce, 0.0), valid
+
+
+class OhemCELoss:
+    """CE with OHEM keep rule (reference: lib/loss/ohem_ce_loss.py:13-34)."""
+
+    def __init__(self, thresh: float = 0.7, ignore_lb: int = 255,
+                 n_min_ratio: int = 16, exact: bool = False):
+        self.thresh = -math.log(thresh)
+        self.ignore_lb = ignore_lb
+        self.n_min_ratio = n_min_ratio
+        self.exact = exact
+
+    def __call__(self, logits: jax.Array, labels: jax.Array) -> jax.Array:
+        ce, valid = cross_entropy_per_pixel(logits, labels, self.ignore_lb)
+        fn = ohem_mean_exact if self.exact else ohem_mean
+        return fn(ce, valid, self.thresh, self.n_min_ratio)
+
+
+class MdsOhemCELoss:
+    """Multi-dataset OHEM: per-dataset logits list, one global hard pool
+    (reference: lib/loss/ohem_ce_loss.py:36-90)."""
+
+    def __init__(self, thresh: float = 0.7, ignore_lb: int = 255,
+                 n_min_ratio: int = 16, exact: bool = False):
+        self.thresh = -math.log(thresh)
+        self.ignore_lb = ignore_lb
+        self.n_min_ratio = n_min_ratio
+        self.exact = exact
+
+    def __call__(
+        self,
+        logits_list: Sequence[Optional[jax.Array]],
+        labels_list: Sequence[Optional[jax.Array]],
+    ) -> jax.Array:
+        losses: List[jax.Array] = []
+        valids: List[jax.Array] = []
+        for logits, labels in zip(logits_list, labels_list):
+            if logits is None:
+                continue
+            ce, valid = cross_entropy_per_pixel(logits, labels, self.ignore_lb)
+            losses.append(ce.reshape(-1))
+            valids.append(valid.reshape(-1))
+        all_losses = jnp.concatenate(losses)
+        all_valid = jnp.concatenate(valids)
+        fn = ohem_mean_exact if self.exact else ohem_mean
+        return fn(all_losses, all_valid, self.thresh, self.n_min_ratio)

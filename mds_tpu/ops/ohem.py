@@ -1,0 +1,108 @@
+"""OHEM (online hard example mining) top-k selection, TPU-friendly.
+
+Reference semantics (lib/loss/ohem_ce_loss.py:13-34): per-pixel CE with
+ignore=255; keep pixels with loss > −log(thresh); if fewer than
+n_min = n_valid // 16 survive, keep the n_min largest instead; mean over kept.
+
+The torch code does a data-dependent `loss.topk(n_min)` over ~10⁷ pixels.
+Under XLA we need static shapes, and an exact full sort of B·H·W elements
+wastes HBM bandwidth. We use a two-pass histogram quantile instead:
+
+  1. per-pixel losses (f32) are histogrammed into K log-spaced bins (one
+     O(n) VPU pass, constant memory);
+  2. the threshold is the bin edge where the from-the-top cumulative count
+     first reaches n_min (n_min is a traced scalar — fine, it only selects
+     a bin edge);
+  3. final loss = mean of losses ≥ max(fixed_thresh_adjusted, bin_thresh).
+
+The histogram threshold is exact to within one bin width (default 512 bins
+over [0, 32] nats ⇒ 0.0625 nats). `ohem_mean_exact` (full sort) is provided
+for tests and small inputs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def ohem_threshold_hist(
+    losses: jax.Array,
+    valid: jax.Array,
+    n_min: jax.Array,
+    thresh: float,
+    n_bins: int = 512,
+    max_loss: float = 32.0,
+) -> jax.Array:
+    """Return the OHEM keep-threshold.
+
+    losses: (N,) f32 per-pixel loss (0 where invalid). valid: (N,) bool.
+    n_min: scalar int — minimum number of kept pixels.
+    thresh: the fixed −log(p) threshold.
+    """
+    losses = losses.astype(jnp.float32)
+    # count of valid pixels above the fixed threshold
+    above = jnp.sum((losses > thresh) & valid)
+
+    # histogram of valid losses (clamped into [0, max_loss])
+    scaled = jnp.clip(losses / max_loss, 0.0, 1.0 - 1e-7)
+    bins = (scaled * n_bins).astype(jnp.int32)
+    hist = jnp.zeros((n_bins,), jnp.int32).at[bins].add(valid.astype(jnp.int32))
+    # cumulative count from the top bin down
+    rev_cum = jnp.cumsum(hist[::-1])[::-1]  # rev_cum[i] = #pixels in bins >= i
+    # smallest bin index whose top-cumulative count >= n_min
+    meets = rev_cum >= jnp.maximum(n_min, 1)
+    idx = jnp.argmax(meets[::-1])  # last True position from the end
+    bin_idx = jnp.where(jnp.any(meets), n_bins - 1 - idx, 0)
+    # keep everything in bins >= bin_idx → threshold is the lower edge
+    hist_thresh = bin_idx.astype(jnp.float32) * (max_loss / n_bins)
+
+    # if enough pixels already exceed the fixed threshold, use it;
+    # otherwise fall back to the histogram quantile threshold
+    return jnp.where(above >= n_min, jnp.float32(thresh), hist_thresh)
+
+
+def ohem_mean(
+    losses: jax.Array,
+    valid: jax.Array,
+    thresh: float,
+    n_min_ratio: int = 16,
+    n_bins: int = 512,
+    max_loss: float = 32.0,
+) -> jax.Array:
+    """Full OHEM reduction: mean over kept hard pixels.
+
+    Matches OhemCELoss.forward (lib/loss/ohem_ce_loss.py:21-34) with
+    n_min = n_valid // n_min_ratio.
+    """
+    losses = losses.reshape(-1).astype(jnp.float32)
+    valid = valid.reshape(-1)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    n_min = n_valid // n_min_ratio
+    t = ohem_threshold_hist(losses, valid, n_min, thresh, n_bins, max_loss)
+    # keep = loss > fixed thresh, or loss >= histogram thresh (quantile fill)
+    keep = valid & ((losses > thresh) | (losses >= t))
+    keep_f = keep.astype(jnp.float32)
+    total = jnp.sum(losses * keep_f)
+    count = jnp.maximum(jnp.sum(keep_f), 1.0)
+    return total / count
+
+
+def ohem_mean_exact(
+    losses: jax.Array, valid: jax.Array, thresh: float, n_min_ratio: int = 16
+) -> jax.Array:
+    """Exact (sort-based) OHEM — reference semantics, for tests/small inputs."""
+    losses = losses.reshape(-1).astype(jnp.float32)
+    valid = valid.reshape(-1)
+    n = losses.shape[0]
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    n_min = n_valid // n_min_ratio
+    masked = jnp.where(valid, losses, -jnp.inf)
+    sorted_desc = jnp.sort(masked)[::-1]
+    # value of the n_min-th largest loss (1-indexed); n_min may be 0
+    kth = sorted_desc[jnp.clip(n_min - 1, 0, n - 1)]
+    n_above = jnp.sum((masked > thresh).astype(jnp.int32))
+    cutoff = jnp.where(n_above >= n_min, jnp.float32(thresh), kth)
+    keep = valid & ((losses > thresh) | (losses >= cutoff))
+    keep_f = keep.astype(jnp.float32)
+    return jnp.sum(losses * keep_f) / jnp.maximum(jnp.sum(keep_f), 1.0)
