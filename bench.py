@@ -1,0 +1,71 @@
+"""Headline benchmark: BiSeNetV2 1024×2048 bf16 end-to-end inference FPS.
+
+Mirrors the reference's deploy benchmark (tensorrt/trt_dep.cpp
+test_fps_with_engine; README.md:10 — BiSeNetV2 59 FPS fp16 on a Tesla T4 at
+1024×2048, bs=1). Ours measures the full exported graph: uint8-scale input →
+normalize → BiSeNetV2 → argmax label map, jitted in bf16 on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline = FPS / 59 (reference T4 fp16 FPS; BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+T4_FP16_FPS = 59.0  # reference README.md:10
+
+
+def main():
+    from mds_tpu.models.bisenetv2 import BiSeNetV2
+
+    model = BiSeNetV2(n_classes=(19,), n_bn=1, aux=False, dtype=jnp.bfloat16)
+    H, W = 1024, 2048
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((1, H, W, 3), jnp.float32)
+    variables = jax.jit(lambda k: model.init({"params": k}, [x0], train=False))(rng)
+
+    mean = jnp.asarray([0.3257, 0.3690, 0.3223], jnp.float32)
+    std = jnp.asarray([0.2112, 0.2148, 0.2115], jnp.float32)
+
+    @jax.jit
+    def pred(v, im_u8):
+        x = im_u8.astype(jnp.float32) / 255.0
+        x = (x - mean.reshape(1, 1, 1, 3)) / std.reshape(1, 1, 1, 3)
+        return model.apply(v, x, dataset=0, method=model.pred)
+
+    im = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (1, H, W, 3)), jnp.uint8
+    )
+    # warmup/compile
+    pred(variables, im).block_until_ready()
+    pred(variables, im).block_until_ready()
+
+    n_iters = 50
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = pred(variables, im)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    fps = n_iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "bisenetv2_1024x2048_bf16_inference_fps",
+                "value": round(fps, 2),
+                "unit": "fps/chip",
+                "vs_baseline": round(fps / T4_FP16_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -25,8 +25,15 @@ from mds_tpu.data.sampler import InfiniteStream
 
 
 class TrainBatch(dict):
-    """dict with attribute access: im (B,H,W,3) u8, lb (B,H,W) u8,
-    dataset_ids (B,) i32."""
+    """dict with attribute access.
+
+    Multi-dataset train batches carry per-dataset lists:
+      ims: [(b_i,H,W,3) u8] and lbs: [(b_i,H,W) u8], one entry per dataset —
+    the TPU-native layout (each array independently batch-sharded; see
+    mds_tpu.models.layers). `im`/`lb`/`dataset_ids` hold the stacked views
+    for consumers that want the reference's concatenated layout
+    (tools/train_ltbgnn_all_datasets_snp.py:711-747).
+    """
 
     __getattr__ = dict.__getitem__
 
@@ -86,14 +93,21 @@ class MultiDatasetTrainLoader:
     def _assemble(self) -> TrainBatch:
         futs = []
         for i, bs in enumerate(self.batch_sizes):
-            futs.extend([self.pool.submit(self._one, i) for _ in range(bs)])
-        samples = [f.result() for f in futs]
-        ims = np.stack([s["im"] for s in samples])
-        lbs = np.stack([s["lb"] for s in samples])
+            futs.append([self.pool.submit(self._one, i) for _ in range(bs)])
+        ims = [np.stack([f.result()["im"] for f in fs]) for fs in futs]
+        lbs_list = []
+        for i, fs in enumerate(futs):
+            lbs_list.append(np.stack([f.result()["lb"] for f in fs]))
         ids = np.concatenate(
             [np.full(bs, i, np.int32) for i, bs in enumerate(self.batch_sizes)]
         )
-        return TrainBatch(im=ims, lb=lbs, dataset_ids=ids)
+        return TrainBatch(
+            ims=ims,
+            lbs=lbs_list,
+            im=np.concatenate(ims, axis=0),
+            lb=np.concatenate(lbs_list, axis=0),
+            dataset_ids=ids,
+        )
 
     def _produce(self):
         while not self._stop.is_set():

@@ -1,0 +1,127 @@
+"""Jitted training steps.
+
+TPU-native equivalent of the reference hot loop (tools/train_amp.py:218-291):
+one jitted function does normalize → forward → per-dataset OHEM main+aux loss
+→ grad → SGD update → BN-stat update. Under a data mesh the batch arrays are
+sharded on their leading axis and params are replicated, so XLA inserts the
+gradient all-reduce exactly where DDP's NCCL all-reduce sat. bf16 compute
+needs no GradScaler (reference: amp.GradScaler tools/train_amp.py:204) — TPU
+bf16 has fp32 range.
+
+Loss composition parity (tools/train_amp.py:253-263):
+  loss = Σ_datasets [ OhemCE(main_i, lb_i) + Σ_aux OhemCE(aux_i, lb_i) ].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mds_tpu.engine.train_state import TrainState
+from mds_tpu.losses.ohem_ce import OhemCELoss
+
+
+def normalize_images(
+    ims: Sequence[Optional[jax.Array]],
+    means: Sequence[jax.Array],
+    stds: Sequence[jax.Array],
+    dtype=jnp.float32,
+) -> List[Optional[jax.Array]]:
+    """uint8 NHWC → ÷255 → (x−mean)/std per dataset, on device.
+
+    Replaces the host-side ToTensor normalize (lib/transform_cv2.py:283-301)
+    and the CVCUDA convertto+normalize pair (lib/cvCudaPreprocess.py:313-350);
+    XLA fuses this into the first conv.
+    """
+    out = []
+    for x, m, s in zip(ims, means, stds):
+        if x is None:
+            out.append(None)
+            continue
+        xf = x.astype(jnp.float32) / 255.0
+        xf = (xf - m.reshape(1, 1, 1, 3)) / s.reshape(1, 1, 1, 3)
+        out.append(xf.astype(dtype))
+    return out
+
+
+def make_seg_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    means: Sequence,
+    stds: Sequence,
+    ohem_thresh: float = 0.7,
+    compute_dtype=jnp.bfloat16,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted multi-dataset train step for head-based models
+    (BiSeNetV1/V2). Returns step_fn(state, ims, lbs, rng) -> (state, metrics).
+    """
+    criteria = OhemCELoss(ohem_thresh)
+    means = [jnp.asarray(m, jnp.float32) for m in means]
+    stds = [jnp.asarray(s, jnp.float32) for s in stds]
+
+    def loss_fn(params, batch_stats, ims, lbs, rng):
+        xs = normalize_images(ims, means, stds, dtype=compute_dtype)
+        out, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            xs,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        total = 0.0
+        metrics = {}
+        for i, (logits, lb) in enumerate(zip(out["logits"], lbs)):
+            if logits is None:
+                continue
+            lb = lb.astype(jnp.int32)
+            l_main = criteria(logits, lb)
+            l_aux = 0.0
+            for aux_set in out.get("aux", []):
+                if aux_set[i] is not None:
+                    l_aux = l_aux + criteria(aux_set[i], lb)
+            total = total + l_main + l_aux
+            metrics[f"loss_pre_{i}"] = l_main
+        metrics["loss"] = total
+        return total, (mut["batch_stats"], metrics)
+
+    def step_fn(state: TrainState, ims, lbs, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, ims, lbs, rng
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                params=params,
+                batch_stats=new_stats,
+                opt_state=opt_state,
+                step=state.step + 1,
+            ),
+            metrics,
+        )
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def init_train_state(model, tx, sample_ims, rng=None) -> TrainState:
+    """Initialize params/stats/optimizer for a per-dataset sample batch."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(rng)
+    variables = model.init(
+        {"params": k1, "dropout": k2},
+        [None if x is None else jnp.asarray(x, jnp.float32) for x in sample_ims],
+        train=True,
+    )
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        step=jnp.asarray(0, jnp.int32),
+    )

@@ -1,0 +1,157 @@
+"""Config-driven trainer: one stage machine replacing ~30 reference scripts.
+
+Reference trainers (tools/train.py, train_amp.py, train_ltbgnn_*.py, …) all
+share the same skeleton: set_model / set_optimizer / set_lr_scheduler /
+set_meters then an iteration loop with interleaved per-dataset batches,
+periodic logging, checkpointing and eval (SURVEY.md §2.5). Here that skeleton
+is one Trainer whose stages are config:
+
+  stage 'seg'  — supervised seg training (BiSeNetV1/V2 heads or SemsegModel
+                 prototypes), OHEM CE, SGD warmup-poly;
+  stage 'gnn'  — (GNN-era) alternating graph-network optimization; wired in
+                 mds_tpu.engine.gnn_trainer.
+
+Data parallelism: batches sharded over the mesh's `data` axis; params
+replicated; XLA inserts the gradient all-reduce (= DDP).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mds_tpu.config import Configer
+from mds_tpu.data.labels import get_spec
+from mds_tpu.data.loader import get_data_loader
+from mds_tpu.engine.checkpoints import CheckpointManager
+from mds_tpu.engine.lr_schedule import warmup_poly_lr
+from mds_tpu.engine.optim import build_optimizer
+from mds_tpu.engine.train_step import init_train_state, make_seg_train_step
+from mds_tpu.engine.train_state import TrainState
+from mds_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from mds_tpu.registry import MODELS
+from mds_tpu.utils.logger import print_log_msg, setup_logger
+from mds_tpu.utils.meters import AvgMeter, TimeMeter
+
+
+def build_model(configer: Configer, dtype=jnp.bfloat16):
+    name = configer.get("model_name", default="bisenetv2")
+    n = configer.n_datasets
+    n_classes = tuple(configer.n_cats(i) for i in range(n))
+    cls = MODELS[name]
+    kwargs = dict(configer.get("model_kwargs", default={}) or {})
+    if name in ("bisenetv2", "bisenetv1"):
+        return cls(n_classes=n_classes, n_bn=n, dtype=dtype, **kwargs)
+    return cls(configer=configer, dtype=dtype, **kwargs)
+
+
+def dataset_stats(configer: Configer):
+    """Per-dataset (mean, std) for on-device normalization."""
+    means, stds = [], []
+    for i in range(configer.n_datasets):
+        spec_name = configer.dataset_cfg(i).get("spec")
+        if spec_name:
+            spec = get_spec(spec_name)
+            means.append(spec.mean)
+            stds.append(spec.std)
+        else:
+            means.append(np.zeros(3, np.float32))
+            stds.append(np.ones(3, np.float32))
+    return means, stds
+
+
+class Trainer:
+    def __init__(self, configer: Configer, work_dir: str = "./res",
+                 compute_dtype=jnp.bfloat16, mesh=None):
+        self.configer = configer
+        self.logger = setup_logger("mds_tpu", work_dir)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.compute_dtype = compute_dtype
+        self.work_dir = work_dir
+
+        self.max_iter = int(configer.get("lr", "max_iter", default=1000))
+        lr_start = float(configer.get("lr", "lr_start", default=5e-3))
+        self.schedule = warmup_poly_lr(
+            lr_start,
+            float(configer.get("lr", "lr_power", default=0.9)),
+            self.max_iter,
+            warmup_iter=int(configer.get("lr", "warmup_iters", default=500)),
+            warmup_ratio=float(configer.get("lr", "warmup_ratio", default=0.1)),
+            warmup=configer.get("lr", "warmup", default="exp"),
+        )
+        self.tx = build_optimizer(configer, self.schedule)
+        self.model = build_model(configer, dtype=compute_dtype)
+
+        crop = configer.get("train", "cropsize", default=[512, 512])
+        n = configer.n_datasets
+        sample = [
+            np.zeros((1, crop[0], crop[1], 3), np.float32) for _ in range(n)
+        ]
+        self.state = init_train_state(self.model, self.tx, sample)
+        self.state = replicate(self.state, self.mesh)
+
+        means, stds = dataset_stats(configer)
+        self.step_fn = make_seg_train_step(
+            self.model, self.tx, means, stds,
+            ohem_thresh=float(configer.get("loss", "ohem_thresh", default=0.7)),
+            compute_dtype=compute_dtype,
+        )
+        self.ckpt = CheckpointManager(
+            f"{work_dir}/ckpt",
+            save_interval=int(configer.get("train", "ckpt_interval", default=1000)),
+        )
+
+    def restore_if_available(self):
+        if self.ckpt.latest_step() is not None:
+            self.state, _ = self.ckpt.restore(self.state)
+            self.logger.info(f"restored checkpoint at step {int(self.state.step)}")
+
+    def train(self, loader=None, log_interval: int = 100):
+        configer = self.configer
+        if loader is None:
+            loader = get_data_loader(
+                configer, "train",
+                rank=jax.process_index(), world=jax.process_count(),
+            )
+        time_meter = TimeMeter(self.max_iter)
+        loss_meters: Dict[str, AvgMeter] = {"loss": AvgMeter()}
+        rng = jax.random.PRNGKey(int(configer.get("seed", default=0) or 0))
+        start = int(self.state.step)
+        it = start
+        try:
+            for it in range(start, self.max_iter):
+                batch = next(loader)
+                dev_batch = shard_batch(
+                    {"ims": list(batch["ims"]), "lbs": list(batch["lbs"])}, self.mesh
+                )
+                self.state, metrics = self.step_fn(
+                    self.state, dev_batch["ims"], dev_batch["lbs"], rng
+                )
+                time_meter.update()
+                loss_meters["loss"].update(float(metrics["loss"]))
+                if (it + 1) % log_interval == 0:
+                    lr = float(self.schedule(it))
+                    print_log_msg(
+                        self.logger, it, self.max_iter, lr, time_meter, loss_meters
+                    )
+                self.ckpt.maybe_save(self.state)
+        finally:
+            if hasattr(loader, "close"):
+                loader.close()
+        self.ckpt.maybe_save(self.state, force=True)
+        self.ckpt.wait()
+        return self.state
+
+
+def train_from_config(config_path: str, overrides: Optional[List[str]] = None,
+                      work_dir: str = "./res", max_iter: Optional[int] = None):
+    configer = Configer(config_file=config_path, args_parser=overrides or [])
+    if max_iter is not None:
+        configer.update(["lr", "max_iter"], max_iter)
+    t = Trainer(configer, work_dir=work_dir)
+    t.restore_if_available()
+    return t.train()

@@ -1,0 +1,286 @@
+"""mIoU evaluation: single-scale, multi-scale+flip, and sliding-crop.
+
+Reference: evaluate.py — MscEvalV0 (:46-99), MscEvalCrop (:650-753),
+`get_round_size` 32-divisor rounding (:43-44), confusion hist bincount
+(:92-96), iou = diag/(rowsum+colsum−diag), nanmean (:97-99).
+
+TPU-native differences:
+  * the per-image hot path (resize → forward → resize → softmax-accumulate →
+    argmax → confusion hist) is one jitted graph per (shape, scale); the hist
+    is accumulated on device — the reference's `.cpu().numpy()` bincount
+    round-trip (evaluate.py:92-96) is gone;
+  * multi-process reduction of the hist is a psum via
+    `jax.make_array_from_process_local_data` + sum, standing in for
+    `dist.all_reduce(hist)` (evaluate.py:94-95);
+  * resizes use align_corners=True bilinear to match the reference's
+    F.interpolate calls exactly (gather-based, since jax.image only offers
+    the half-pixel convention).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_round_size(size: Sequence[int], divisor: int = 32) -> Tuple[int, int]:
+    """Round sizes up to the divisor (reference: evaluate.py:43-44)."""
+    return tuple(math.ceil(el / divisor) * divisor for el in size)
+
+
+def resize_bilinear_ac(x: jax.Array, size_hw: Tuple[int, int]) -> jax.Array:
+    """Bilinear resize with align_corners=True (torch F.interpolate parity).
+
+    Output grid maps linearly onto [0, H_in-1]: src = i*(H_in-1)/(H_out-1).
+    NHWC, static shapes, gather-based.
+    """
+    b, h_in, w_in, c = x.shape
+    h_out, w_out = size_hw
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    x = x.astype(jnp.float32)
+
+    def grid(n_out, n_in):
+        if n_out == 1:
+            return jnp.zeros((1,), jnp.float32)
+        return jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1) / (n_out - 1))
+
+    ys = grid(h_out, h_in)
+    xs = grid(w_out, w_in)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h_in - 1)
+    y1 = jnp.clip(y0 + 1, 0, h_in - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w_in - 1)
+    x1 = jnp.clip(x0 + 1, 0, w_in - 1)
+    wy = (ys - y0.astype(jnp.float32))[None, :, None, None]
+    wx = (xs - x0.astype(jnp.float32))[None, None, :, None]
+    rows0 = jnp.take(x, y0, axis=1)
+    rows1 = jnp.take(x, y1, axis=1)
+    top = jnp.take(rows0, x0, axis=2) * (1 - wx) + jnp.take(rows0, x1, axis=2) * wx
+    bot = jnp.take(rows1, x0, axis=2) * (1 - wx) + jnp.take(rows1, x1, axis=2) * wx
+    return top * (1 - wy) + bot * wy
+
+
+def confusion_hist(
+    label: jax.Array, pred: jax.Array, n_classes: int, ignore: int = 255
+) -> jax.Array:
+    """(n,n) confusion counts, rows = label, cols = pred (evaluate.py:92-96)."""
+    label = label.reshape(-1).astype(jnp.int32)
+    pred = pred.reshape(-1).astype(jnp.int32)
+    keep = label != ignore
+    idx = jnp.where(keep, label * n_classes + pred, n_classes * n_classes)
+    flat = jnp.zeros((n_classes * n_classes + 1,), jnp.int32).at[idx].add(1)
+    return flat[:-1].reshape(n_classes, n_classes)
+
+
+def compute_ious(hist: np.ndarray):
+    """per-class IoU + nanmean mIoU (evaluate.py:97-99)."""
+    hist = np.asarray(hist, np.float64)
+    denom = hist.sum(0) + hist.sum(1) - np.diag(hist)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ious = np.diag(hist) / denom
+    return ious, float(np.nanmean(ious))
+
+
+class MscEvalV0:
+    """Multi-scale (+flip) whole-image evaluation (evaluate.py:46-99).
+
+    `logits_fn(im_f32_nhwc, dataset) -> (N,h,w,n_classes)` — normalized input
+    at any size; typically model.eval_logits closed over params.
+    """
+
+    def __init__(self, scales=(0.5,), flip: bool = False, ignore_label: int = 255):
+        self.scales = tuple(scales)
+        self.flip = flip
+        self.ignore_label = ignore_label
+        self._jit_cache = {}
+
+    def _batch_fn(self, logits_fn, n_classes, dataset_id, shape):
+        key = (shape, n_classes, dataset_id)
+        if key not in self._jit_cache:
+            H, W = shape[1], shape[2]
+
+            def run(im, label):
+                probs = jnp.zeros((im.shape[0], H, W, n_classes), jnp.float32)
+                for scale in self.scales:
+                    sH, sW = get_round_size((int(scale * H), int(scale * W)))
+                    im_sc = resize_bilinear_ac(im, (sH, sW))
+                    logits = logits_fn(im_sc, dataset_id)
+                    logits = resize_bilinear_ac(logits, (H, W))
+                    probs += jax.nn.softmax(logits, axis=-1)
+                    if self.flip:
+                        im_fl = im_sc[:, :, ::-1, :]
+                        logits = logits_fn(im_fl, dataset_id)[:, :, ::-1, :]
+                        logits = resize_bilinear_ac(logits, (H, W))
+                        probs += jax.nn.softmax(logits, axis=-1)
+                preds = jnp.argmax(probs, axis=-1)
+                return confusion_hist(label, preds, n_classes, self.ignore_label)
+
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key]
+
+    def __call__(self, logits_fn, loader, n_classes: int, dataset_id: int,
+                 preprocess: Optional[Callable] = None) -> float:
+        hist = np.zeros((n_classes, n_classes), np.int64)
+        for batch in loader:
+            im = np.asarray(batch["im"])
+            if preprocess is not None:
+                im = preprocess(im)
+            im = jnp.asarray(im, jnp.float32)
+            lb = jnp.asarray(np.asarray(batch["lb"]), jnp.int32)
+            fn = self._batch_fn(logits_fn, n_classes, dataset_id, im.shape)
+            hist += np.asarray(fn(im, lb), np.int64)
+        hist = _psum_hist(hist)
+        _, miou = compute_ious(hist)
+        return miou
+
+
+class MscEvalCrop:
+    """Sliding-window crop evaluation (evaluate.py:650-753): pad to cropsize,
+    2/3-stride windows, per-chip (+flip) prob accumulation."""
+
+    def __init__(self, cropsize=1024, cropstride=2.0 / 3, flip=True,
+                 scales=(0.5, 0.75, 1.0, 1.25, 1.5, 1.75), lb_ignore=255):
+        self.cropsize = (
+            tuple(cropsize) if isinstance(cropsize, (tuple, list)) else (cropsize, cropsize)
+        )
+        self.cropstride = cropstride
+        self.flip = flip
+        self.scales = tuple(scales)
+        self.ignore_label = lb_ignore
+        self._jit_cache = {}
+
+    def _chip_fn(self, logits_fn, dataset_id, chip_shape):
+        key = ("chip", chip_shape, dataset_id)
+        if key not in self._jit_cache:
+
+            def run(chip):
+                prob = jax.nn.softmax(logits_fn(chip, dataset_id), axis=-1)
+                if self.flip:
+                    p2 = jax.nn.softmax(
+                        logits_fn(chip[:, :, ::-1, :], dataset_id)[:, :, ::-1, :],
+                        axis=-1,
+                    )
+                    # parity quirk kept: the reference exponentiates the
+                    # flip-summed prob (evaluate.py:686-688) — argmax-invariant
+                    prob = jnp.exp(prob + p2)
+                return prob
+
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key]
+
+    def _crop_eval(self, logits_fn, im: np.ndarray, n_classes: int, dataset_id: int):
+        cropH, cropW = self.cropsize
+        N, H0, W0, C = im.shape
+        padH, padW = max(cropH, H0), max(cropW, W0)
+        hst, wst = (padH - H0) // 2, (padW - W0) // 2
+        padded = np.zeros((N, padH, padW, C), np.float32)
+        padded[:, hst : hst + H0, wst : wst + W0] = im
+        H, W = padH, padW
+        strdH = math.ceil(cropH * self.cropstride)
+        strdW = math.ceil(cropW * self.cropstride)
+        n_h = math.ceil((H - cropH) / strdH) + 1
+        n_w = math.ceil((W - cropW) / strdW) + 1
+        prob = np.zeros((N, H, W, n_classes), np.float32)
+        chip_fn = self._chip_fn(logits_fn, dataset_id, (N, cropH, cropW, C))
+        for i in range(n_h):
+            for j in range(n_w):
+                stH = min(strdH * i, H - cropH)
+                stW = min(strdW * j, W - cropW)
+                chip = jnp.asarray(padded[:, stH : stH + cropH, stW : stW + cropW])
+                prob[:, stH : stH + cropH, stW : stW + cropW] += np.asarray(
+                    chip_fn(chip)
+                )
+        return prob[:, hst : hst + H0, wst : wst + W0]
+
+    def __call__(self, logits_fn, loader, n_classes: int, dataset_id: int = 0,
+                 preprocess: Optional[Callable] = None) -> float:
+        hist = np.zeros((n_classes, n_classes), np.int64)
+        for batch in loader:
+            im = np.asarray(batch["im"], np.float32)
+            if preprocess is not None:
+                im = preprocess(im)
+            lb = np.asarray(batch["lb"]).astype(np.int64)
+            N, H, W = lb.shape
+            probs = np.zeros((N, H, W, n_classes), np.float32)
+            for sc in self.scales:
+                sH, sW = int(H * sc), int(W * sc)
+                im_sc = np.asarray(
+                    resize_bilinear_ac(jnp.asarray(im), (sH, sW))
+                )
+                prob = self._crop_eval(logits_fn, im_sc, n_classes, dataset_id)
+                probs += np.asarray(
+                    resize_bilinear_ac(jnp.asarray(prob), (H, W))
+                )
+            preds = probs.argmax(-1)
+            keep = lb != self.ignore_label
+            hist += np.bincount(
+                lb[keep] * n_classes + preds[keep], minlength=n_classes**2
+            ).reshape(n_classes, n_classes)
+        hist = _psum_hist(hist)
+        _, miou = compute_ious(hist)
+        return miou
+
+
+def _psum_hist(hist: np.ndarray) -> np.ndarray:
+    """Sum confusion hists across processes (dist.all_reduce equivalent)."""
+    if jax.process_count() == 1:
+        return hist
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.asarray(jax.devices())
+    mesh = Mesh(devs, ("d",))
+    arr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("d")),
+        np.broadcast_to(hist[None], (jax.local_device_count(), *hist.shape)),
+    )
+    total = jax.jit(
+        lambda a: jnp.sum(a, axis=0) // jax.local_device_count(),
+        out_shardings=NamedSharding(mesh, P()),
+    )(arr)
+    return np.asarray(total)
+
+
+def make_logits_fn(model, variables, mean, std):
+    """Close model.eval_logits over params with on-device normalization.
+
+    Input is raw uint8-scale NHWC float; normalization (÷255, mean/std) is
+    fused into the graph like the reference's E2EModel (tools/demo.py:703-710).
+    """
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+
+    def logits_fn(im, dataset):
+        x = (im / 255.0 - mean.reshape(1, 1, 1, 3)) / std.reshape(1, 1, 1, 3)
+        return model.apply(variables, x, dataset=dataset, method=model.eval_logits)
+
+    return logits_fn
+
+
+def eval_model(configer, model, variables, loaders, mode: str = "ss"):
+    """Per-dataset mIoU table (reference: evaluate.py eval_model
+    :907-1100 drivers; modes ss/msf per README eval protocol)."""
+    from mds_tpu.data.labels import get_spec
+
+    if mode == "ss":
+        ev = MscEvalV0(scales=(1.0,), flip=False)
+    elif mode == "msf":
+        ev = MscEvalV0(scales=(0.5, 0.75, 1.0, 1.25, 1.5, 1.75), flip=True)
+    else:
+        raise ValueError(mode)
+    mious = []
+    for i, loader in enumerate(loaders):
+        spec_name = configer.dataset_cfg(i).get("spec", None)
+        if spec_name:
+            spec = get_spec(spec_name)
+            mean, std = spec.mean, spec.std
+        else:
+            mean, std = np.zeros(3, np.float32), np.ones(3, np.float32)
+        logits_fn = make_logits_fn(model, variables, mean, std)
+        n_cats = configer.n_cats(i)
+        mious.append(ev(logits_fn, loader, n_cats, i))
+    return mious

@@ -1,39 +1,37 @@
 """BiSeNetV2 in Flax — multi-dataset, NHWC, bf16-ready.
 
-Reference: lib/models/bisenetv2.py (853 LoC). Topology (paper + reference):
+Reference: lib/models/bisenetv2.py (853 LoC). Topology:
   * DetailBranch — 3 conv stages at ×2/×4/×8 downsample (ref :156-189);
   * SegmentBranch — StemBlock (:192-229), GELayerS1/S2 inverted bottlenecks
     with depthwise 3×3 (:271-371), CEBlock global-context (:229-268);
   * BGALayer bilateral guided aggregation (:410-491);
-  * SegmentHead ×(1 main + 4 aux) per dataset (:493-539, heads ModuleList
-    :551-567).
+  * SegmentHead ×(1 main + 4 aux) per dataset (:493-539, ModuleLists :551-567).
 
-Multi-dataset-ness: every ConvBNReLU/ConvBN holds per-dataset BN stats with a
-shared affine pair (see mds_tpu.models.layers.DatasetNorm). Train mode takes a
-stacked batch + static per-dataset `splits`; eval takes a static `dataset`
-index. `aux_mode` is replaced by method entry points: `__call__` (train →
-main+aux logits per dataset), `eval_logits` (main logits for one dataset) and
-`pred` (argmax map), mirroring aux_mode ∈ {train, eval, pred}
-(ref :599-640).
+Multi-dataset activations flow as per-dataset lists (see
+mds_tpu.models.layers); every ConvBNReLU/ConvBN holds per-dataset BN stats
+with a shared affine pair. `aux_mode` ∈ {train, eval, pred} (ref :599-640) is
+replaced by `__call__` / `eval_logits` / `pred` entry points.
 """
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from mds_tpu.models.layers import (
-    BatchPlan,
     ConvBN,
     ConvBNReLU,
     DatasetNorm,
+    MultiX,
     SegmentHead,
+    as_multi,
     avg_pool_3x3_s2,
+    lmap,
+    lmap2,
     max_pool_3x3_s2,
-    split_batch,
     upsample,
 )
 from mds_tpu.registry import MODELS
@@ -48,18 +46,17 @@ class DetailBranch(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train, splits=None, dataset=0):
-        kw = dict(train=train, splits=splits, dataset=dataset)
+    def __call__(self, xs: MultiX, *, train: bool):
         cfg = dict(n_bn=self.n_bn, dtype=self.dtype)
-        x = ConvBNReLU(64, 3, stride=2, name="S1_1", **cfg)(x, **kw)
-        x = ConvBNReLU(64, 3, name="S1_2", **cfg)(x, **kw)
-        x = ConvBNReLU(64, 3, stride=2, name="S2_1", **cfg)(x, **kw)
-        x = ConvBNReLU(64, 3, name="S2_2", **cfg)(x, **kw)
-        x = ConvBNReLU(64, 3, name="S2_3", **cfg)(x, **kw)
-        x = ConvBNReLU(128, 3, stride=2, name="S3_1", **cfg)(x, **kw)
-        x = ConvBNReLU(128, 3, name="S3_2", **cfg)(x, **kw)
-        x = ConvBNReLU(128, 3, name="S3_3", **cfg)(x, **kw)
-        return x
+        xs = ConvBNReLU(64, 3, stride=2, name="S1_1", **cfg)(xs, train=train)
+        xs = ConvBNReLU(64, 3, name="S1_2", **cfg)(xs, train=train)
+        xs = ConvBNReLU(64, 3, stride=2, name="S2_1", **cfg)(xs, train=train)
+        xs = ConvBNReLU(64, 3, name="S2_2", **cfg)(xs, train=train)
+        xs = ConvBNReLU(64, 3, name="S2_3", **cfg)(xs, train=train)
+        xs = ConvBNReLU(128, 3, stride=2, name="S3_1", **cfg)(xs, train=train)
+        xs = ConvBNReLU(128, 3, name="S3_2", **cfg)(xs, train=train)
+        xs = ConvBNReLU(128, 3, name="S3_3", **cfg)(xs, train=train)
+        return xs
 
 
 class StemBlock(nn.Module):
@@ -70,38 +67,36 @@ class StemBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train, splits=None, dataset=0):
-        kw = dict(train=train, splits=splits, dataset=dataset)
+    def __call__(self, xs: MultiX, *, train: bool):
         cfg = dict(n_bn=self.n_bn, dtype=self.dtype)
-        x = ConvBNReLU(16, 3, stride=2, name="conv", **cfg)(x, **kw)
-        left = ConvBNReLU(8, 1, name="left_1", **cfg)(x, **kw)
-        left = ConvBNReLU(16, 3, stride=2, name="left_2", **cfg)(left, **kw)
-        right = max_pool_3x3_s2(x)
-        x = jnp.concatenate([left, right], axis=-1)
-        x = ConvBNReLU(16, 3, name="fuse", **cfg)(x, **kw)
-        return x
+        xs = ConvBNReLU(16, 3, stride=2, name="conv", **cfg)(xs, train=train)
+        left = ConvBNReLU(8, 1, name="left_1", **cfg)(xs, train=train)
+        left = ConvBNReLU(16, 3, stride=2, name="left_2", **cfg)(left, train=train)
+        right = lmap(max_pool_3x3_s2, xs)
+        xs = lmap2(lambda l, r: jnp.concatenate([l, r], axis=-1), left, right)
+        xs = ConvBNReLU(16, 3, name="fuse", **cfg)(xs, train=train)
+        return xs
 
 
 class CEBlock(nn.Module):
     """Context embedding: GAP → per-dataset BN (own affine) → 1×1 conv →
     broadcast-add → 3×3 conv (reference: lib/models/bisenetv2.py:229-268).
-    Note: this BN is affine=True per dataset (no shared affine)."""
+    This BN is affine=True per dataset (plain BatchNorm2d, no shared affine)."""
 
     n_bn: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train, splits=None, dataset=0):
-        kw = dict(train=train, splits=splits, dataset=dataset)
+    def __call__(self, xs: MultiX, *, train: bool):
         cfg = dict(n_bn=self.n_bn, dtype=self.dtype)
-        gap = jnp.mean(x, axis=(1, 2), keepdims=True)
+        gap = lmap(lambda x: jnp.mean(x, axis=(1, 2), keepdims=True), xs)
         gap = DatasetNorm(
             128, n_bn=self.n_bn, shared_affine=False, dtype=self.dtype, name="bn"
-        )(gap, **kw)
-        gap = ConvBNReLU(128, 1, name="conv_gap", **cfg)(gap, **kw)
-        x = x + gap  # broadcast over H,W = F.interpolate of 1×1 map
-        x = ConvBNReLU(128, 3, name="conv_last", **cfg)(x, **kw)
-        return x
+        )(gap, train=train)
+        gap = ConvBNReLU(128, 1, name="conv_gap", **cfg)(gap, train=train)
+        xs = lmap2(lambda x, g: x + g, xs, gap)  # broadcast = interpolate of 1×1
+        xs = ConvBNReLU(128, 3, name="conv_last", **cfg)(xs, train=train)
+        return xs
 
 
 class GELayerS1(nn.Module):
@@ -114,18 +109,17 @@ class GELayerS1(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train, splits=None, dataset=0):
-        kw = dict(train=train, splits=splits, dataset=dataset)
+    def __call__(self, xs: MultiX, *, train: bool):
         cfg = dict(n_bn=self.n_bn, dtype=self.dtype)
         mid = self.in_chan * self.exp_ratio
-        f = ConvBNReLU(self.in_chan, 3, name="conv1", **cfg)(x, **kw)
-        f = ConvBNReLU(mid, 3, groups=self.in_chan, name="dwconv", **cfg)(f, **kw)
-        f = ConvBN(self.out_chan, 1, name="conv2", **cfg)(f, **kw)
-        return nn.relu(f + x)
+        f = ConvBNReLU(self.in_chan, 3, name="conv1", **cfg)(xs, train=train)
+        f = ConvBNReLU(mid, 3, groups=self.in_chan, name="dwconv", **cfg)(f, train=train)
+        f = ConvBN(self.out_chan, 1, name="conv2", **cfg)(f, train=train)
+        return lmap2(lambda a, b: nn.relu(a + b), f, xs)
 
 
 class GELayerS2(nn.Module):
-    """Gather-expand layer, stride 2, with depthwise shortcut
+    """Gather-expand layer, stride 2, depthwise shortcut
     (reference: lib/models/bisenetv2.py:312-371)."""
 
     in_chan: int
@@ -135,17 +129,16 @@ class GELayerS2(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train, splits=None, dataset=0):
-        kw = dict(train=train, splits=splits, dataset=dataset)
+    def __call__(self, xs: MultiX, *, train: bool):
         cfg = dict(n_bn=self.n_bn, dtype=self.dtype)
         mid = self.in_chan * self.exp_ratio
-        f = ConvBNReLU(self.in_chan, 3, name="conv1", **cfg)(x, **kw)
-        f = ConvBN(mid, 3, stride=2, groups=self.in_chan, name="dwconv1", **cfg)(f, **kw)
-        f = ConvBN(mid, 3, groups=mid, name="dwconv2", **cfg)(f, **kw)
-        f = ConvBN(self.out_chan, 1, name="conv2", **cfg)(f, **kw)
-        s = ConvBN(self.in_chan, 3, stride=2, groups=self.in_chan, name="shortcut_1", **cfg)(x, **kw)
-        s = ConvBN(self.out_chan, 1, name="shortcut_2", **cfg)(s, **kw)
-        return nn.relu(f + s)
+        f = ConvBNReLU(self.in_chan, 3, name="conv1", **cfg)(xs, train=train)
+        f = ConvBN(mid, 3, stride=2, groups=self.in_chan, name="dwconv1", **cfg)(f, train=train)
+        f = ConvBN(mid, 3, groups=mid, name="dwconv2", **cfg)(f, train=train)
+        f = ConvBN(self.out_chan, 1, name="conv2", **cfg)(f, train=train)
+        s = ConvBN(self.in_chan, 3, stride=2, groups=self.in_chan, name="shortcut_1", **cfg)(xs, train=train)
+        s = ConvBN(self.out_chan, 1, name="shortcut_2", **cfg)(s, train=train)
+        return lmap2(lambda a, b: nn.relu(a + b), f, s)
 
 
 class SegmentBranch(nn.Module):
@@ -156,19 +149,18 @@ class SegmentBranch(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train, splits=None, dataset=0):
-        kw = dict(train=train, splits=splits, dataset=dataset)
+    def __call__(self, xs: MultiX, *, train: bool):
         cfg = dict(n_bn=self.n_bn, dtype=self.dtype)
-        feat2 = StemBlock(name="S1S2", **cfg)(x, **kw)
-        feat3 = GELayerS2(16, 32, name="S3_1", **cfg)(feat2, **kw)
-        feat3 = GELayerS1(32, 32, name="S3_2", **cfg)(feat3, **kw)
-        feat4 = GELayerS2(32, 64, name="S4_1", **cfg)(feat3, **kw)
-        feat4 = GELayerS1(64, 64, name="S4_2", **cfg)(feat4, **kw)
-        feat5 = GELayerS2(64, 128, name="S5_4_1", **cfg)(feat4, **kw)
-        feat5 = GELayerS1(128, 128, name="S5_4_2", **cfg)(feat5, **kw)
-        feat5 = GELayerS1(128, 128, name="S5_4_3", **cfg)(feat5, **kw)
-        feat5 = GELayerS1(128, 128, name="S5_4_4", **cfg)(feat5, **kw)
-        feat5_5 = CEBlock(name="S5_5", **cfg)(feat5, **kw)
+        feat2 = StemBlock(name="S1S2", **cfg)(xs, train=train)
+        feat3 = GELayerS2(16, 32, name="S3_1", **cfg)(feat2, train=train)
+        feat3 = GELayerS1(32, 32, name="S3_2", **cfg)(feat3, train=train)
+        feat4 = GELayerS2(32, 64, name="S4_1", **cfg)(feat3, train=train)
+        feat4 = GELayerS1(64, 64, name="S4_2", **cfg)(feat4, train=train)
+        feat5 = GELayerS2(64, 128, name="S5_4_1", **cfg)(feat4, train=train)
+        feat5 = GELayerS1(128, 128, name="S5_4_2", **cfg)(feat5, train=train)
+        feat5 = GELayerS1(128, 128, name="S5_4_3", **cfg)(feat5, train=train)
+        feat5 = GELayerS1(128, 128, name="S5_4_4", **cfg)(feat5, train=train)
+        feat5_5 = CEBlock(name="S5_5", **cfg)(feat5, train=train)
         return feat2, feat3, feat4, feat5, feat5_5
 
 
@@ -179,23 +171,26 @@ class BGALayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x_d, x_s, *, train, splits=None, dataset=0):
-        kw = dict(train=train, splits=splits, dataset=dataset)
+    def __call__(self, x_d: MultiX, x_s: MultiX, *, train: bool):
         cfg = dict(n_bn=self.n_bn, dtype=self.dtype)
-        left1 = ConvBN(128, 3, groups=128, name="left1_convbn", **cfg)(x_d, **kw)
-        left1 = nn.Conv(128, (1, 1), use_bias=False, dtype=self.dtype,
-                        param_dtype=jnp.float32, name="left1_conv")(left1)
-        left2 = ConvBN(128, 3, stride=2, name="left2_convbn", **cfg)(x_d, **kw)
-        left2 = avg_pool_3x3_s2(left2)
-        right1 = ConvBN(128, 3, name="right1", **cfg)(x_s, **kw)
-        right2 = ConvBN(128, 3, groups=128, name="right2_convbn", **cfg)(x_s, **kw)
-        right2 = nn.Conv(128, (1, 1), use_bias=False, dtype=self.dtype,
-                         param_dtype=jnp.float32, name="right2_conv")(right2)
-        right1 = upsample(right1, 4, "nearest")
-        left = left1 * jax.nn.sigmoid(right1)
-        right = left2 * jax.nn.sigmoid(right2)
-        right = upsample(right, 4, "nearest")
-        out = ConvBNReLU(128, 3, name="conv", **cfg)(left + right, **kw)
+        conv1x1_l = nn.Conv(128, (1, 1), use_bias=False, dtype=self.dtype,
+                            param_dtype=jnp.float32, name="left1_conv")
+        conv1x1_r = nn.Conv(128, (1, 1), use_bias=False, dtype=self.dtype,
+                            param_dtype=jnp.float32, name="right2_conv")
+        left1 = ConvBN(128, 3, groups=128, name="left1_convbn", **cfg)(x_d, train=train)
+        left1 = lmap(conv1x1_l, left1)
+        left2 = ConvBN(128, 3, stride=2, name="left2_convbn", **cfg)(x_d, train=train)
+        left2 = lmap(avg_pool_3x3_s2, left2)
+        right1 = ConvBN(128, 3, name="right1", **cfg)(x_s, train=train)
+        right2 = ConvBN(128, 3, groups=128, name="right2_convbn", **cfg)(x_s, train=train)
+        right2 = lmap(conv1x1_r, right2)
+        right1 = lmap(lambda x: upsample(x, 4, "nearest"), right1)
+        left = lmap2(lambda a, b: a * jax.nn.sigmoid(b), left1, right1)
+        right = lmap2(lambda a, b: a * jax.nn.sigmoid(b), left2, right2)
+        right = lmap(lambda x: upsample(x, 4, "nearest"), right)
+        out = ConvBNReLU(128, 3, name="conv", **cfg)(
+            lmap2(lambda a, b: a + b, left, right), train=train
+        )
         return out
 
 
@@ -204,9 +199,9 @@ class BiSeNetV2(nn.Module):
     """Multi-dataset BiSeNetV2 (reference: lib/models/bisenetv2.py:541-782).
 
     n_classes: per-dataset class counts (length = n_datasets = n_bn).
-    Train call returns per-dataset lists of [main, aux2, aux3, aux4, aux5_4]
-    logits at input resolution (float32), matching the reference head set
-    (:551-567, :628-631).
+    Train call takes per-dataset input list and returns per-dataset lists of
+    main + aux logits at input resolution (float32), matching the reference
+    head set (:551-567, :628-631).
     """
 
     n_classes: Sequence[int]
@@ -225,68 +220,44 @@ class BiSeNetV2(nn.Module):
             for n in self.n_classes
         ]
         if self.aux:
-            self.aux2 = [
-                SegmentHead(128, n, up_factor=4, dtype=self.dtype)
-                for n in self.n_classes
-            ]
-            self.aux3 = [
-                SegmentHead(128, n, up_factor=8, dtype=self.dtype)
-                for n in self.n_classes
-            ]
-            self.aux4 = [
-                SegmentHead(128, n, up_factor=16, dtype=self.dtype)
-                for n in self.n_classes
-            ]
-            self.aux5_4 = [
-                SegmentHead(128, n, up_factor=32, dtype=self.dtype)
-                for n in self.n_classes
-            ]
+            self.aux2 = [SegmentHead(128, n, up_factor=4, dtype=self.dtype) for n in self.n_classes]
+            self.aux3 = [SegmentHead(128, n, up_factor=8, dtype=self.dtype) for n in self.n_classes]
+            self.aux4 = [SegmentHead(128, n, up_factor=16, dtype=self.dtype) for n in self.n_classes]
+            self.aux5_4 = [SegmentHead(128, n, up_factor=32, dtype=self.dtype) for n in self.n_classes]
 
-    def backbone(self, x, *, train, splits=None, dataset=0):
-        kw = dict(train=train, splits=splits, dataset=dataset)
-        x = x.astype(self.dtype)
-        feat_d = self.detail(x, **kw)
-        feat2, feat3, feat4, feat5_4, feat_s = self.segment(x, **kw)
-        feat_head = self.bga(feat_d, feat_s, **kw)
+    def backbone(self, xs: MultiX, *, train: bool):
+        xs = lmap(lambda x: x.astype(self.dtype), xs)
+        feat_d = self.detail(xs, train=train)
+        feat2, feat3, feat4, feat5_4, feat_s = self.segment(xs, train=train)
+        feat_head = self.bga(feat_d, feat_s, train=train)
         return feat_head, (feat2, feat3, feat4, feat5_4)
 
-    def __call__(self, x, *, train: bool = True,
-                 splits: Optional[BatchPlan] = None, dataset: int = 0):
-        """Train forward: per-dataset logits lists.
-
-        Returns dict(logits=[per-dataset main logits], aux=[per-dataset
-        [aux2, aux3, aux4, aux5_4] lists]) — shapes (b_i, H, W, n_classes_i).
-        """
-        if splits is None:
-            splits = tuple(
-                x.shape[0] if i == dataset else 0 for i in range(self.n_bn)
-            )
-        feat_head, feats_aux = self.backbone(x, train=train, splits=splits)
-        head_parts = split_batch(feat_head, splits)
+    def __call__(self, xs: MultiX, *, train: bool = True):
+        """Train forward. Returns dict(logits=[per-dataset main logits],
+        aux=[4 per-dataset aux-logit lists]) — (b_i, H, W, n_classes_i)."""
+        feat_head, feats_aux = self.backbone(xs, train=train)
         logits = [
             self.head[i](p, train=train) if p is not None else None
-            for i, p in enumerate(head_parts)
+            for i, p in enumerate(feat_head)
         ]
         out = {"logits": logits}
         if self.aux and train:
             aux_heads = [self.aux2, self.aux3, self.aux4, self.aux5_4]
-            aux_out = []
-            for heads, feat in zip(aux_heads, feats_aux):
-                parts = split_batch(feat, splits)
-                aux_out.append(
-                    [
-                        heads[i](p, train=train) if p is not None else None
-                        for i, p in enumerate(parts)
-                    ]
-                )
-            out["aux"] = aux_out
+            out["aux"] = [
+                [
+                    heads[i](p, train=train) if p is not None else None
+                    for i, p in enumerate(feat)
+                ]
+                for heads, feat in zip(aux_heads, feats_aux)
+            ]
         return out
 
-    def eval_logits(self, x, dataset: int = 0):
+    def eval_logits(self, x: jax.Array, dataset: int = 0):
         """aux_mode='eval' path: main logits for one dataset (ref :632-635)."""
-        feat_head, _ = self.backbone(x, train=False, dataset=dataset)
-        return self.head[dataset](feat_head, train=False)
+        xs = as_multi(x, dataset, self.n_bn)
+        feat_head, _ = self.backbone(xs, train=False)
+        return self.head[dataset](feat_head[dataset], train=False)
 
-    def pred(self, x, dataset: int = 0):
+    def pred(self, x: jax.Array, dataset: int = 0):
         """aux_mode='pred': argmax label map (ref :636-639)."""
         return jnp.argmax(self.eval_logits(x, dataset), axis=-1)

@@ -1,40 +1,48 @@
-"""Core Flax building blocks: per-dataset BatchNorm and fused conv blocks.
+"""Core Flax building blocks: per-dataset BatchNorm and conv blocks.
 
 TPU-native redesign of the reference's multi-dataset ConvBNReLU/ConvBN
-(lib/models/bisenetv2.py:12-127): the reference concatenates per-dataset
-sub-batches for the conv and then runs a python loop of per-dataset
-`nn.BatchNorm2d(affine=False)` + one shared affine pair. Here the batch plan
-(per-dataset sub-batch sizes) is **static**, so the split is a static slice
-under jit: XLA sees one big conv (MXU-friendly) and n small normalization
-fusions — no ragged control flow, no dynamic shapes.
+(lib/models/bisenetv2.py:12-127). The reference concatenates per-dataset
+sub-batches for the conv, then loops per-dataset `BatchNorm2d(affine=False)` +
+one shared affine pair. Here multi-dataset activations flow as a **list of
+per-dataset arrays** (None for absent datasets): under data-parallel pjit each
+per-dataset array is independently sharded along its batch axis, so every
+slice/BN/conv is device-local and XLA only inserts the collectives that are
+semantically required (grad all-reduce + BN global moments = SyncBN).
 
-Conventions:
-  * layout NHWC (TPU conv layout), params float32, compute dtype configurable
-    (bfloat16 for training/inference on TPU);
-  * BN statistics always computed in float32;
-  * under pjit with a data-sharded batch, BN moments are global-batch moments
-    (= SyncBatchNorm semantics; the reference's optional
-    nn.SyncBatchNorm.convert_sync_batchnorm, tools/train_amp.py:130).
+A stacked-batch design was rejected on purpose: static per-dataset slices of
+one concatenated batch straddle shard boundaries (sub-batch sizes aren't
+multiples of the per-device chunk), forcing all-to-alls on every BN split.
 
-A "batch plan" is `splits: Tuple[int, ...]` of per-dataset sub-batch sizes in
-dataset order (zeros allowed). Eval mode passes a static `dataset` index
-instead, selecting that dataset's running stats.
+Conventions: layout NHWC; params float32; compute dtype configurable
+(bfloat16 on TPU); BN statistics in float32.
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
-BatchPlan = Tuple[int, ...]
+MultiX = Sequence[Optional[jax.Array]]  # one entry per dataset, None = absent
 
 
-def plan_total(splits: BatchPlan) -> int:
-    return int(sum(splits))
+def lmap(fn: Callable, xs: MultiX) -> List[Optional[jax.Array]]:
+    """Map over a per-dataset list, passing None through."""
+    return [None if x is None else fn(x) for x in xs]
+
+
+def lmap2(fn: Callable, xs: MultiX, ys: MultiX) -> List[Optional[jax.Array]]:
+    return [
+        None if (x is None or y is None) else fn(x, y) for x, y in zip(xs, ys)
+    ]
+
+
+def as_multi(x: jax.Array, dataset: int, n: int) -> List[Optional[jax.Array]]:
+    """Wrap a single-dataset tensor into the list form."""
+    return [x if i == dataset else None for i in range(n)]
 
 
 class DatasetNorm(nn.Module):
@@ -42,11 +50,14 @@ class DatasetNorm(nn.Module):
 
     Mirrors the reference's `nn.ModuleList([BatchNorm2d(affine=False)]*n_bn)`
     plus shared affine weight/bias (lib/models/bisenetv2.py:22-26,44-48) when
-    `shared_affine=True`; the bisenetv2_origin per-dataset-affine variant
+    `shared_affine=True`; the per-dataset-affine variant
     (lib/models/bisenetv2_origin.py:22) when `shared_affine=False`.
 
     torch parity: running stats update uses momentum 0.1 with the unbiased
-    batch variance; normalization uses the biased variance.
+    batch variance; normalization uses the biased variance. Under pjit with
+    batch-sharded inputs the moments are global-batch moments (SyncBN
+    semantics — reference's optional convert_sync_batchnorm,
+    tools/train_amp.py:130).
     """
 
     features: int
@@ -58,15 +69,9 @@ class DatasetNorm(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(
-        self,
-        x: jax.Array,
-        *,
-        train: bool,
-        splits: Optional[BatchPlan] = None,
-        dataset: int = 0,
-    ) -> jax.Array:
+    def __call__(self, xs: MultiX, *, train: bool) -> List[Optional[jax.Array]]:
         c = self.features
+        assert len(xs) == self.n_bn, (len(xs), self.n_bn)
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((self.n_bn, c), jnp.float32)
         )
@@ -86,63 +91,49 @@ class DatasetNorm(nn.Module):
             b = bias if self.shared_affine else bias[i]
             return y * s + b
 
-        red_axes = tuple(range(x.ndim - 1))  # all but channel
-
-        if not train:
-            m = ra_mean.value[dataset]
-            v = ra_var.value[dataset]
-            inv = jax.lax.rsqrt(v + self.eps)
-            y = (x.astype(jnp.float32) - m) * inv
-            return _affine(dataset, y).astype(self.dtype)
-
-        if splits is None:
-            splits = tuple(
-                x.shape[0] if i == dataset else 0 for i in range(self.n_bn)
-            )
-        assert len(splits) == self.n_bn, (splits, self.n_bn)
-        assert sum(splits) == x.shape[0], (splits, x.shape)
-
         mutable = self.is_mutable_collection("batch_stats")
         new_mean, new_var = ra_mean.value, ra_var.value
-        outs = []
-        start = 0
-        for i, b in enumerate(splits):
-            if b == 0:
+        outs: List[Optional[jax.Array]] = []
+        for i, x in enumerate(xs):
+            if x is None:
+                outs.append(None)
                 continue
-            xi = jax.lax.slice_in_dim(x, start, start + b, axis=0)
-            start += b
-            xf = xi.astype(jnp.float32)
-            m = jnp.mean(xf, axis=red_axes)
-            v = jnp.mean(jnp.square(xf - m), axis=red_axes)
+            xf = x.astype(jnp.float32)
+            red_axes = tuple(range(x.ndim - 1))
+            if train:
+                m = jnp.mean(xf, axis=red_axes)
+                v = jnp.mean(jnp.square(xf - m), axis=red_axes)
+                cnt = 1
+                for d in x.shape[:-1]:
+                    cnt *= d
+                unbiased = v * (cnt / max(cnt - 1, 1))
+                new_mean = new_mean.at[i].set(
+                    (1 - self.momentum) * new_mean[i] + self.momentum * m
+                )
+                new_var = new_var.at[i].set(
+                    (1 - self.momentum) * new_var[i] + self.momentum * unbiased
+                )
+            else:
+                m = ra_mean.value[i]
+                v = ra_var.value[i]
             inv = jax.lax.rsqrt(v + self.eps)
-            y = (xf - m) * inv
-            outs.append(_affine(i, y).astype(self.dtype))
-            # unbiased variance for the running stat (torch semantics)
-            cnt = 1
-            for d in xi.shape[:-1]:
-                cnt *= d
-            unbiased = v * (cnt / max(cnt - 1, 1))
-            new_mean = new_mean.at[i].set(
-                (1 - self.momentum) * new_mean[i] + self.momentum * m
-            )
-            new_var = new_var.at[i].set(
-                (1 - self.momentum) * new_var[i] + self.momentum * unbiased
-            )
-        if mutable and not self.is_initializing():
+            outs.append(_affine(i, (xf - m) * inv).astype(self.dtype))
+        if train and mutable and not self.is_initializing():
             ra_mean.value = new_mean
             ra_var.value = new_var
-        return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+        return outs
 
 
 def conv_init() -> Callable:
-    """He/kaiming normal fan-out — the reference's init_weight convention
-    (lib/models/bisenetv2.py:654-663 kaiming_normal_, fan_out)."""
+    """He/kaiming normal fan-out — the reference's init convention
+    (lib/models/bisenetv2.py init_weight, kaiming_normal_ fan_out)."""
     return nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
 class ConvBNReLU(nn.Module):
     """conv → per-dataset BN → shared affine → ReLU
-    (reference: lib/models/bisenetv2.py:12-74)."""
+    (reference: lib/models/bisenetv2.py:12-74). One conv (shared weights)
+    applied to each dataset's array."""
 
     out_chan: int
     ks: int = 3
@@ -156,15 +147,8 @@ class ConvBNReLU(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(
-        self,
-        x: jax.Array,
-        *,
-        train: bool,
-        splits: Optional[BatchPlan] = None,
-        dataset: int = 0,
-    ) -> jax.Array:
-        x = nn.Conv(
+    def __call__(self, xs: MultiX, *, train: bool) -> List[Optional[jax.Array]]:
+        conv = nn.Conv(
             self.out_chan,
             (self.ks, self.ks),
             strides=self.stride,
@@ -176,17 +160,18 @@ class ConvBNReLU(nn.Module):
             param_dtype=jnp.float32,
             kernel_init=conv_init(),
             name="conv",
-        )(x)
-        x = DatasetNorm(
+        )
+        xs = lmap(conv, xs)
+        xs = DatasetNorm(
             self.out_chan,
             n_bn=self.n_bn,
             shared_affine=self.shared_affine,
             dtype=self.dtype,
             name="bn",
-        )(x, train=train, splits=splits, dataset=dataset)
+        )(xs, train=train)
         if self.relu:
-            x = nn.relu(x)
-        return x
+            xs = lmap(nn.relu, xs)
+        return xs
 
 
 class ConvBN(ConvBNReLU):
@@ -198,12 +183,10 @@ class ConvBN(ConvBNReLU):
 def upsample(x: jax.Array, factor: int, method: str = "nearest") -> jax.Array:
     """Integer-factor spatial upsample, NHWC.
 
-    method='nearest' matches torch nn.Upsample default; method='bilinear'
-    matches torch bilinear with align_corners=False (half-pixel convention —
-    jax.image.resize 'linear' uses the same)."""
+    'nearest' matches torch nn.Upsample default; 'bilinear' matches torch
+    align_corners=False (half-pixel — jax.image 'linear' convention)."""
     b, h, w, c = x.shape
     if method == "nearest":
-        # exact + cheap: repeat (jax.image 'nearest' matches this for integer factors)
         x = jnp.repeat(x, factor, axis=1)
         return jnp.repeat(x, factor, axis=2)
     out = jax.image.resize(
@@ -237,9 +220,8 @@ class SegmentHead(nn.Module):
     """Per-dataset segmentation head (reference: lib/models/bisenetv2.py:493-539).
 
     conv3x3-BN-ReLU(in→mid) → dropout(0.1) → [aux: up×2 nearest →
-    conv3x3-BN-ReLU(mid→up_factor²)] → 1×1 conv → bilinear up.
-    Heads are per-dataset modules so their BN is single (n_bn=1).
-    """
+    conv3x3-BN-ReLU(mid→up_factor²)] → 1×1 conv → bilinear up. Heads are
+    per-dataset modules, so n_bn=1 (single-entry list internally)."""
 
     mid_chan: int
     n_classes: int
@@ -249,41 +231,24 @@ class SegmentHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
-        x = ConvBNReLU(self.mid_chan, 3, dtype=self.dtype, name="conv")(
-            x, train=train
+        (x,) = ConvBNReLU(self.mid_chan, 3, dtype=self.dtype, name="conv")(
+            [x], train=train
         )
         x = nn.Dropout(0.1, deterministic=not train)(x)
         if self.aux:
             mid2 = self.up_factor * self.up_factor
-            up2 = self.up_factor // 2
+            factor = self.up_factor // 2
             x = upsample(x, 2, "nearest")
-            x = ConvBNReLU(mid2, 3, dtype=self.dtype, name="conv1")(x, train=train)
-            x = nn.Conv(
-                self.n_classes, (1, 1), use_bias=True, dtype=self.dtype,
-                param_dtype=jnp.float32, name="conv_out",
-            )(x)
-            factor = up2
+            (x,) = ConvBNReLU(mid2, 3, dtype=self.dtype, name="conv1")([x], train=train)
         else:
-            x = nn.Conv(
-                self.n_classes, (1, 1), use_bias=True, dtype=self.dtype,
-                param_dtype=jnp.float32, name="conv_out",
-            )(x)
             factor = self.up_factor
+        x = nn.Conv(
+            self.n_classes, (1, 1), use_bias=True, dtype=self.dtype,
+            param_dtype=jnp.float32, name="conv_out",
+        )(x)
         if factor > 1:
             b, h, w, c = x.shape
             x = jax.image.resize(
                 x.astype(jnp.float32), (b, h * factor, w * factor, c), method="linear"
             )
         return x.astype(jnp.float32)
-
-
-def split_batch(x: jax.Array, splits: BatchPlan):
-    """Static per-dataset slices of a stacked batch."""
-    outs = []
-    start = 0
-    for b in splits:
-        outs.append(
-            jax.lax.slice_in_dim(x, start, start + b, axis=0) if b else None
-        )
-        start += b
-    return outs

@@ -1,0 +1,63 @@
+"""Device mesh + sharding utilities: the NCCL/DDP layer, TPU-native.
+
+Reference parallelism (SURVEY.md §2.7): pure data parallelism — DDP gradient
+all-reduce over NCCL (tools/train_amp.py:169-177), `dist.all_reduce` on eval
+hists (evaluate.py:94-95), rank-strided samplers. Here the same surface is a
+1-D `data` mesh: batches are sharded along `data`, params/optimizer state are
+replicated, and XLA inserts the gradient all-reduce (ICI collective) because
+the loss reduces over a sharded batch under jit. SyncBN falls out for free:
+BN moments are global-batch means under the same sharding.
+
+Multi-host: `jax.distributed.initialize()` + per-process data shards via
+`jax.make_array_from_process_local_data` (the RepeatedDistSampler rank shard).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1-D data-parallel mesh over the first n devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a pytree onto every device of the mesh."""
+    s = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Shard a host batch (leading dim) across the mesh's data axis.
+
+    Single-process path uses device_put with a NamedSharding; multi-process
+    uses make_array_from_process_local_data (each process holds its shard).
+    """
+    s = batch_sharding(mesh, axis)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)), batch
+    )
+
+
+def pad_batch_to(batch_size: int, mesh: Mesh, axis: str = "data") -> int:
+    """Round a global batch size up to a multiple of the data-axis size."""
+    n = mesh.shape[axis]
+    return -(-batch_size // n) * n

@@ -19,6 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Persistent compilation cache: amortize XLA CPU compiles across test runs.
 import jax  # noqa: E402
 
+# The axon sitecustomize pre-sets jax_platforms="axon,cpu" at interpreter
+# boot, which beats the env var — force CPU for tests explicitly.
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),

@@ -12,13 +12,10 @@ HW = 32
 @pytest.fixture(scope="module")
 def model_and_vars():
     model = BiSeNetV2(n_classes=(5, 7), n_bn=2)
-    x = jnp.zeros((2, HW, HW, 3))
+    xs = [jnp.zeros((1, HW, HW, 3)), jnp.zeros((1, HW, HW, 3))]
     init = jax.jit(
         lambda k: model.init(
-            {"params": k, "dropout": jax.random.PRNGKey(1)},
-            x,
-            train=True,
-            splits=(1, 1),
+            {"params": k, "dropout": jax.random.PRNGKey(1)}, xs, train=True
         )
     )
     return model, init(jax.random.PRNGKey(0))
@@ -26,16 +23,20 @@ def model_and_vars():
 
 def test_train_forward_shapes(model_and_vars):
     model, variables = model_and_vars
-    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (3, HW, HW, 3)), jnp.float32)
+    g = np.random.default_rng(0)
+    xs = [
+        jnp.asarray(g.normal(0, 1, (2, HW, HW, 3)), jnp.float32),
+        jnp.asarray(g.normal(0, 1, (1, HW, HW, 3)), jnp.float32),
+    ]
 
     @jax.jit
-    def fwd(v, x):
+    def fwd(v, xs):
         return model.apply(
-            v, x, train=True, splits=(2, 1), mutable=["batch_stats"],
+            v, xs, train=True, mutable=["batch_stats"],
             rngs={"dropout": jax.random.PRNGKey(2)},
         )
 
-    out, mut = fwd(variables, x)
+    out, mut = fwd(variables, xs)
     assert out["logits"][0].shape == (2, HW, HW, 5)
     assert out["logits"][1].shape == (1, HW, HW, 7)
     assert len(out["aux"]) == 4
@@ -43,7 +44,6 @@ def test_train_forward_shapes(model_and_vars):
         assert aux_set[0].shape == (2, HW, HW, 5)
         assert aux_set[1].shape == (1, HW, HW, 7)
     assert np.isfinite(np.asarray(out["logits"][0])).all()
-    # batch stats were updated away from init
     assert np.abs(np.asarray(mut["batch_stats"]["detail"]["S1_1"]["bn"]["mean"])).sum() > 0
 
 
@@ -61,27 +61,26 @@ def test_eval_and_pred_shapes(model_and_vars):
     assert pred.shape == (1, HW, HW)
 
 
-def test_absent_dataset_split(model_and_vars):
+def test_absent_dataset(model_and_vars):
     model, variables = model_and_vars
-    x = jnp.zeros((2, HW, HW, 3))
+    xs = [jnp.zeros((2, HW, HW, 3)), None]
     out = jax.eval_shape(
-        lambda v, x: model.apply(
-            v, x, train=True, splits=(2, 0), mutable=["batch_stats"],
+        lambda v, x0: model.apply(
+            v, [x0, None], train=True, mutable=["batch_stats"],
             rngs={"dropout": jax.random.PRNGKey(0)},
         )[0],
-        variables, x,
+        variables, xs[0],
     )
     assert out["logits"][0].shape == (2, HW, HW, 5)
     assert out["logits"][1] is None
 
 
 def test_param_count_plausible():
-    # single-dataset BiSeNetV2 ≈ 5.2M backbone+head params (paper scale)
     model = BiSeNetV2(n_classes=(19,), n_bn=1)
     shapes = jax.eval_shape(
         lambda k: model.init(
             {"params": k, "dropout": jax.random.PRNGKey(1)},
-            jnp.zeros((1, HW, HW, 3)),
+            [jnp.zeros((1, HW, HW, 3))],
             train=True,
         ),
         jax.random.PRNGKey(0),
@@ -94,12 +93,11 @@ def test_bf16_compute_dtype():
     model = BiSeNetV2(n_classes=(5,), n_bn=1, dtype=jnp.bfloat16)
     x = jnp.zeros((1, HW, HW, 3))
     v_shapes = jax.eval_shape(
-        lambda k: model.init({"params": k}, x, train=False), jax.random.PRNGKey(0)
+        lambda k: model.init({"params": k}, [x], train=False), jax.random.PRNGKey(0)
     )
     logits = jax.eval_shape(
         lambda v, x: model.apply(v, x, dataset=0, method=model.eval_logits),
         v_shapes, x,
     )
-    # head returns float32 logits regardless of compute dtype; params stay f32
     assert logits.dtype == jnp.float32
     assert jax.tree_util.tree_leaves(v_shapes["params"])[0].dtype == jnp.float32

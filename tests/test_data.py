@@ -164,8 +164,10 @@ def test_multidataset_loader_batch_layout():
     try:
         for _ in range(3):
             b = next(loader)
-            assert b.im.shape == (5, 16, 16, 3) and b.im.dtype == np.uint8
-            assert b.lb.shape == (5, 16, 16) and b.lb.dtype == np.uint8
+            assert b.ims[0].shape == (3, 16, 16, 3) and b.ims[0].dtype == np.uint8
+            assert b.ims[1].shape == (2, 16, 16, 3)
+            assert b.lbs[0].shape == (3, 16, 16) and b.lbs[0].dtype == np.uint8
+            assert b.im.shape == (5, 16, 16, 3)
             np.testing.assert_array_equal(b.dataset_ids, [0, 0, 0, 1, 1])
     finally:
         loader.close()

@@ -37,21 +37,25 @@ def test_datasetnorm_matches_torch_train_and_stats():
     bias = rng.normal(0, 0.1, c).astype(np.float32)
 
     m = DatasetNorm(c, n_bn=2)
-    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 5, c)), train=False)
+    variables = m.init(
+        jax.random.PRNGKey(0), [jnp.zeros((1, 4, 5, c))] * 2, train=False
+    )
     variables = {
         "params": {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)},
         "batch_stats": variables["batch_stats"],
     }
-    x = jnp.concatenate([jnp.asarray(x0), jnp.asarray(x1)], axis=0)
-    y, mut = m.apply(
-        variables, x, train=True, splits=(3, 2), mutable=["batch_stats"]
+    ys, mut = m.apply(
+        variables,
+        [jnp.asarray(x0), jnp.asarray(x1)],
+        train=True,
+        mutable=["batch_stats"],
     )
 
     t_outs, t_stats = torch_multibn_step(
         [np.transpose(x0, (0, 3, 1, 2)), np.transpose(x1, (0, 3, 1, 2))], scale, bias
     )
-    got0 = np.transpose(np.asarray(y[:3]), (0, 3, 1, 2))
-    got1 = np.transpose(np.asarray(y[3:]), (0, 3, 1, 2))
+    got0 = np.transpose(np.asarray(ys[0]), (0, 3, 1, 2))
+    got1 = np.transpose(np.asarray(ys[1]), (0, 3, 1, 2))
     np.testing.assert_allclose(got0, t_outs[0], atol=1e-4)
     np.testing.assert_allclose(got1, t_outs[1], atol=1e-4)
     np.testing.assert_allclose(
@@ -74,8 +78,8 @@ def test_datasetnorm_eval_uses_selected_stats():
     }
     params = {"scale": jnp.ones(c), "bias": jnp.zeros(c)}
     x = jnp.full((2, 3, 3, c), 5.0)
-    y0 = m.apply({"params": params, "batch_stats": stats}, x, train=False, dataset=0)
-    y1 = m.apply({"params": params, "batch_stats": stats}, x, train=False, dataset=1)
+    y0 = m.apply({"params": params, "batch_stats": stats}, [x, None], train=False)[0]
+    y1 = m.apply({"params": params, "batch_stats": stats}, [None, x], train=False)[1]
     np.testing.assert_allclose(np.asarray(y0), 5.0, atol=1e-2)
     np.testing.assert_allclose(np.asarray(y1), 0.0, atol=1e-3)
 
@@ -83,9 +87,10 @@ def test_datasetnorm_eval_uses_selected_stats():
 def test_datasetnorm_skips_absent_dataset_stats():
     c = 4
     m = DatasetNorm(c, n_bn=3)
-    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 2, c)), train=False)
+    v = m.init(jax.random.PRNGKey(0), [jnp.zeros((1, 2, 2, c))] * 3, train=False)
     x = jnp.asarray(np.random.default_rng(0).normal(3, 1, (4, 2, 2, c)), jnp.float32)
-    _, mut = m.apply(v, x, train=True, splits=(4, 0, 0), mutable=["batch_stats"])
+    ys, mut = m.apply(v, [x, None, None], train=True, mutable=["batch_stats"])
+    assert ys[1] is None and ys[2] is None
     # dataset 0 stats moved, 1 and 2 untouched
     assert not np.allclose(np.asarray(mut["batch_stats"]["mean"][0]), 0.0)
     np.testing.assert_allclose(np.asarray(mut["batch_stats"]["mean"][1]), 0.0)
@@ -95,8 +100,8 @@ def test_datasetnorm_skips_absent_dataset_stats():
 def test_convbnrelu_depthwise_and_stride():
     m = ConvBNReLU(16, ks=3, stride=2, groups=8, n_bn=1)
     x = jnp.ones((2, 8, 8, 8))
-    v = m.init(jax.random.PRNGKey(0), x, train=False)
-    y = m.apply(v, x, train=False)
+    v = m.init(jax.random.PRNGKey(0), [x], train=False)
+    (y,) = m.apply(v, [x], train=False)
     assert y.shape == (2, 4, 4, 16)
     assert (np.asarray(y) >= 0).all()
 

@@ -1,0 +1,109 @@
+"""End-to-end train-step tests: single device and 8-device CPU data mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mds_tpu.data.labels import get_spec
+from mds_tpu.engine.lr_schedule import warmup_poly_lr
+from mds_tpu.engine.optim import sgd_param_groups
+from mds_tpu.engine.train_step import init_train_state, make_seg_train_step
+from mds_tpu.models.bisenetv2 import BiSeNetV2
+from mds_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+HW = 32
+
+
+def _setup(n_classes=(5,), n_bn=1, lr=0.005):
+    model = BiSeNetV2(n_classes=n_classes, n_bn=n_bn)
+    sched = warmup_poly_lr(lr, 0.9, 100, warmup_iter=5, warmup_ratio=0.1)
+    tx = sgd_param_groups(sched, momentum=0.9, weight_decay=5e-4)
+    sample = [np.zeros((1, HW, HW, 3), np.float32) for _ in range(n_bn)]
+    state = init_train_state(model, tx, sample)
+    mean = np.zeros(3, np.float32)
+    std = np.ones(3, np.float32)
+    step = make_seg_train_step(
+        model, tx, [mean] * n_bn, [std] * n_bn, compute_dtype=jnp.float32
+    )
+    return model, state, step
+
+
+def _fake_batch(rng, b, n_cats):
+    # labels constant over 8x8 blocks: BiSeNetV2's main head predicts at 1/8
+    # resolution, so per-pixel-random labels would be unlearnable by design
+    lb8 = rng.integers(0, n_cats, (b, HW // 8, HW // 8))
+    lb = np.repeat(np.repeat(lb8, 8, axis=1), 8, axis=2).astype(np.uint8)
+    colors = np.random.default_rng(7).integers(40, 216, (256, 3))
+    im = np.clip(colors[lb] + rng.normal(0, 5, (b, HW, HW, 3)), 0, 255).astype(np.uint8)
+    return im, lb
+
+
+def test_train_step_learns_fixed_batch():
+    model, state, step = _setup()
+    rng = np.random.default_rng(0)
+    im, lb = _fake_batch(rng, 4, 5)
+    key = jax.random.PRNGKey(0)
+    losses, mains = [], []
+    for _ in range(30):
+        state, metrics = step(state, [jnp.asarray(im)], [jnp.asarray(lb)], key)
+        losses.append(float(metrics["loss"]))
+        mains.append(float(metrics["loss_pre_0"]))
+    assert all(np.isfinite(losses)), losses
+    # the main-head loss must clearly beat chance (ln5 ≈ 1.61) on a fixed batch
+    assert np.mean(mains[-5:]) < 1.0, mains
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+    assert int(state.step) == 30
+
+
+def test_train_step_multidataset():
+    model, state, step = _setup(n_classes=(5, 7), n_bn=2)
+    rng = np.random.default_rng(1)
+    im0, lb0 = _fake_batch(rng, 2, 5)
+    im1, lb1 = _fake_batch(rng, 3, 7)
+    key = jax.random.PRNGKey(1)
+    state, metrics = step(
+        state, [jnp.asarray(im0), jnp.asarray(im1)], [jnp.asarray(lb0), jnp.asarray(lb1)], key
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert "loss_pre_0" in metrics and "loss_pre_1" in metrics
+
+
+def test_train_step_data_parallel_mesh():
+    """The DDP equivalent: batch sharded over an 8-device CPU mesh."""
+    assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
+    mesh = make_mesh(8)
+    model, state, step = _setup()
+    state = replicate(state, mesh)
+    rng = np.random.default_rng(2)
+    im, lb = _fake_batch(rng, 16, 5)  # 16 divisible by 8
+    batch = shard_batch({"im": [im], "lb": [lb]}, mesh)
+    key = jax.random.PRNGKey(2)
+    state2, metrics = step(state, batch["im"], batch["lb"], key)
+    assert np.isfinite(float(metrics["loss"]))
+    # params must still be replicated (grad all-reduce happened)
+    leaf = jax.tree_util.tree_leaves(state2.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_mesh_vs_single_device_grad_equivalence():
+    """Sharded and unsharded training must produce the same update."""
+    mesh = make_mesh(8)
+    # two identical states (init is deterministic): the jitted step donates
+    # its input state, and replicate() may alias the device-0 buffers, so the
+    # two paths must not share arrays.
+    model, state, step = _setup(lr=0.01)
+    _, state2, _ = _setup(lr=0.01)
+    rng = np.random.default_rng(3)
+    im, lb = _fake_batch(rng, 8, 5)
+    key = jax.random.PRNGKey(3)
+
+    state_r = replicate(state2, mesh)
+    s_single, m_single = step(state, [jnp.asarray(im)], [jnp.asarray(lb)], key)
+    batch = shard_batch({"im": [im], "lb": [lb]}, mesh)
+    s_mesh, m_mesh = step(state_r, batch["im"], batch["lb"], key)
+
+    assert abs(float(m_single["loss"]) - float(m_mesh["loss"])) < 1e-3
+    a = jax.tree_util.tree_leaves(s_single.params)[0]
+    b = jax.tree_util.tree_leaves(s_mesh.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
