@@ -8,3 +8,5 @@ from mds_tpu.registry import MODELS as model_factory  # noqa: F401
 
 # import modules for registration side effects
 from mds_tpu.models import bisenetv2  # noqa: F401,E402
+from mds_tpu.models import swiftnet  # noqa: F401,E402
+from mds_tpu.models import semseg  # noqa: F401,E402

@@ -1,0 +1,258 @@
+"""SwiftNet-pyramid ResNet18 backbone ("snp") in Flax.
+
+Reference: lib/models/resnet_pyramid.py (656 LoC) + lib/module/util.py
+(_UpsampleBlend :120-142, _BNReluConv :40-55). Architecture:
+
+  * the ResNet18 trunk runs once per image-pyramid level (1, 1/2, 1/4 —
+    bicubic subsample; resnet_pyramid.py:399-410) with **per-level BN sets**
+    (BasicBlock bn1/bn2 ModuleLists indexed by level, :169-175);
+  * each trunk pass emits 4 skip features (the pre-ReLU residual outputs of
+    layer1..4, :183-196) projected to 128-d by 1×1 bottlenecks (:312-319);
+  * skips from different pyramid levels land in shifted slots
+    (`skips[idx + i] += [s]`, :386-390) and are **summed** per slot;
+  * the decoder is a chain of `_UpsampleBlend`s: bilinear-upsample to the
+    skip size, add, BN-ReLU-conv3×3 (util.py:133-142), ending at 1/4
+    resolution with 128 features (output_stride=4).
+
+Multi-dataset activations flow as per-dataset lists; the snp_rn18 model
+shares BN statistics across datasets (only per-level stats — reference
+BasicBlock), so the norm here computes joint moments over all list entries
+(exactly equal to the reference's stacked-batch BN) while keeping each
+dataset's array independently shardable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mds_tpu.models.layers import MultiX, conv_init, lmap, lmap2
+
+Dtype = Any
+
+
+class SharedListBN(nn.Module):
+    """BatchNorm over the union of a per-dataset list, with n_slots stat sets
+    (slot = pyramid level). Moments are the joint moments of all non-None
+    entries — identical to BN on the concatenated batch."""
+
+    features: int
+    n_slots: int = 1
+    momentum: float = 0.1
+    eps: float = 1e-5
+    affine: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: MultiX, *, slot: int = 0, train: bool) -> List:
+        c = self.features
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.n_slots, c), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.n_slots, c), jnp.float32)
+        )
+        scale = bias = None
+        if self.affine:
+            scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        live = [x for x in xs if x is not None]
+        assert live, "SharedListBN needs at least one input"
+        if train:
+            total = sum(math.prod(x.shape[:-1]) for x in live)
+            s1 = sum(
+                jnp.sum(x.astype(jnp.float32), axis=tuple(range(x.ndim - 1)))
+                for x in live
+            )
+            s2 = sum(
+                jnp.sum(jnp.square(x.astype(jnp.float32)), axis=tuple(range(x.ndim - 1)))
+                for x in live
+            )
+            m = s1 / total
+            v = jnp.maximum(s2 / total - jnp.square(m), 0.0)
+            if self.is_mutable_collection("batch_stats") and not self.is_initializing():
+                unbiased = v * (total / max(total - 1, 1))
+                ra_mean.value = ra_mean.value.at[slot].set(
+                    (1 - self.momentum) * ra_mean.value[slot] + self.momentum * m
+                )
+                ra_var.value = ra_var.value.at[slot].set(
+                    (1 - self.momentum) * ra_var.value[slot] + self.momentum * unbiased
+                )
+        else:
+            m = ra_mean.value[slot]
+            v = ra_var.value[slot]
+        inv = jax.lax.rsqrt(v + self.eps)
+
+        def norm(x):
+            y = (x.astype(jnp.float32) - m) * inv
+            if self.affine:
+                y = y * scale + bias
+            return y.astype(self.dtype)
+
+        return lmap(norm, xs)
+
+
+def conv_kxk(out, k=3, stride=1, name=None, dtype=jnp.float32):
+    return nn.Conv(
+        out, (k, k), strides=stride, padding=[(k // 2,) * 2] * 2, use_bias=False,
+        dtype=dtype, param_dtype=jnp.float32, kernel_init=conv_init(), name=name,
+    )
+
+
+class BasicBlock(nn.Module):
+    """ResNet BasicBlock with per-level BN; returns (relu_out, pre_relu_skip)
+    (reference: resnet_pyramid.py:162-196)."""
+
+    planes: int
+    stride: int = 1
+    use_downsample: bool = False
+    levels: int = 3
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, xs: MultiX, *, level: int, train: bool):
+        conv1 = conv_kxk(self.planes, 3, self.stride, "conv1", self.dtype)
+        conv2 = conv_kxk(self.planes, 3, 1, "conv2", self.dtype)
+        bn1 = SharedListBN(self.planes, self.levels, dtype=self.dtype, name="bn1")
+        bn2 = SharedListBN(self.planes, self.levels, dtype=self.dtype, name="bn2")
+        out = bn1(lmap(conv1, xs), slot=level, train=train)
+        out = lmap(nn.relu, out)
+        out = bn2(lmap(conv2, out), slot=level, train=train)
+        residual = xs
+        if self.use_downsample:
+            # reference quirk kept: the downsample BN is shared across levels
+            # (_make_layer builds one Sequential BN; resnet_pyramid.py:266-273)
+            dconv = nn.Conv(self.planes, (1, 1), strides=self.stride, use_bias=False,
+                            dtype=self.dtype, param_dtype=jnp.float32,
+                            kernel_init=conv_init(), name="downsample_conv")
+            dbn = SharedListBN(self.planes, 1, dtype=self.dtype, name="downsample_bn")
+            residual = dbn(lmap(dconv, xs), slot=0, train=train)
+        skip = lmap2(lambda a, b: a + b, out, residual)
+        relu = lmap(nn.relu, skip)
+        return relu, skip
+
+
+def _resize_list(xs: MultiX, size_hw, method: str):
+    def rs(x):
+        b, h, w, c = x.shape
+        out = jax.image.resize(
+            x.astype(jnp.float32), (b, size_hw[0], size_hw[1], c), method=method
+        )
+        return out.astype(x.dtype)
+
+    return lmap(rs, xs)
+
+
+class UpsampleBlend(nn.Module):
+    """upsample→add-skip→BN-ReLU-conv3×3 (reference: util.py:120-142).
+    BN/ReLU precede the conv (_BNReluConv order)."""
+
+    num_features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: MultiX, skips: MultiX, *, train: bool):
+        size = None
+        for s in skips:
+            if s is not None:
+                size = s.shape[1:3]
+                break
+        xs = _resize_list(xs, size, "linear")
+        xs = lmap2(lambda a, b: a + b, xs, skips)
+        xs = SharedListBN(self.num_features, 1, dtype=self.dtype, name="bn")(
+            xs, slot=0, train=train
+        )
+        xs = lmap(nn.relu, xs)
+        conv = conv_kxk(self.num_features, 3, 1, "conv", self.dtype)
+        return lmap(conv, xs)
+
+
+class SwiftNetPyramid(nn.Module):
+    """ResNet18 pyramid encoder-decoder, output stride 4, 128-d features
+    (reference: resnet_pyramid.py:267-432 `ResNet` + `resnet18`)."""
+
+    layers: Sequence[int] = (2, 2, 2, 2)
+    num_features: int = 128
+    pyramid_levels: int = 3
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, xs: MultiX, *, train: bool):
+        lvls = self.pyramid_levels
+        conv1 = nn.Conv(64, (7, 7), strides=2, padding=[(3, 3)] * 2, use_bias=False,
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        kernel_init=conv_init(), name="conv1")
+        bn1 = SharedListBN(64, lvls, dtype=self.dtype, name="bn1")
+        planes = [64, 128, 256, 512]
+        blocks = []
+        for li, (p, n) in enumerate(zip(planes, self.layers)):
+            stage = []
+            for bi in range(n):
+                stride = 2 if (bi == 0 and li > 0) else 1
+                need_ds = stride != 1 or (li > 0 and bi == 0)
+                stage.append(
+                    BasicBlock(
+                        p, stride, need_ds, lvls, self.dtype, self.remat,
+                        name=f"layer{li + 1}_{bi}",
+                    )
+                )
+            blocks.append(stage)
+        bottlenecks = [
+            nn.Conv(self.num_features, (1, 1), use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32, kernel_init=conv_init(),
+                    name=f"bneck{j}")
+            for j in range(4)
+        ]
+        # skip slots: pyramid_levels + 3 (output_stride 4 ⇒ none removed)
+        n_slots = lvls + 3
+        slot_sums: List[Optional[list]] = [None] * n_slots
+
+        # image pyramid (bicubic, reference pyramid_subsample)
+        pyramid = [xs]
+        base = None
+        for x in xs:
+            if x is not None:
+                base = x.shape[1:3]
+                break
+        for l in range(1, lvls):
+            size = (base[0] // 2**l, base[1] // 2**l)
+            pyramid.append(_resize_list(xs, size, "cubic"))
+
+        for idx, p in enumerate(pyramid):
+            x = bn1(lmap(conv1, p), slot=idx, train=train)
+            x = lmap(nn.relu, x)
+            x = lmap(
+                lambda t: nn.max_pool(t, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2),
+                x,
+            )
+            feats = []
+            for stage in blocks:
+                skip = None
+                for blk in stage:
+                    x, skip = blk(x, level=idx, train=train)
+                feats.append(skip)
+            # bottleneck projections, deepest first (bneck0 ↔ layer4)
+            skip_feats = [
+                lmap(bneck, f) for bneck, f in zip(bottlenecks, reversed(feats))
+            ]
+            for i, s in enumerate(reversed(skip_feats)):
+                slot = idx + i
+                if slot_sums[slot] is None:
+                    slot_sums[slot] = s
+                else:
+                    slot_sums[slot] = lmap2(lambda a, b: a + b, slot_sums[slot], s)
+
+        slot_sums = slot_sums[::-1]  # deepest (1/128) first
+        x = slot_sums[0]
+        for i in range(2 + lvls):  # 5 blends for 3 levels, ending at 1/4
+            x = UpsampleBlend(self.num_features, self.dtype, name=f"blend{i}")(
+                x, slot_sums[i + 1], train=train
+            )
+        return x
