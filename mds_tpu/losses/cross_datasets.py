@@ -1,0 +1,252 @@
+"""Cross-dataset GNN-era umbrella loss.
+
+Reference: lib/loss/loss_cross_datasets.py:812-1138
+(`CrossDatasetsCELoss_AdvGNN`). Terms (all reproduced):
+
+  * remap CE — per-dataset unified logits × bipartite graph → dataset label
+    space, ×4-upsampled (align_corners=True), multi-dataset OHEM CE with a
+    global hard pool, thresh 0.4 (:845, :996-1007); with 2n graphs the max-
+    and softmax-graph losses are mixed with `max_rate = gnn_iter/gnn_iters`
+    annealing (:1063-1071);
+  * orth — entropy of softmax(P Pᵀ/τ) over the unified prototypes
+    (`similarity_dsb`, :872-890), weight orth_weight;
+  * spa — Σ‖softmax graph‖²_F × spa_loss_weight (:1011-1019);
+  * max_enc — MSE(max over unified cols, 1) × max_enc_weight (:1021-1026);
+  * adj target — masked MSE-sum to a target bipartite graph ÷ M (:1028-1041);
+  * aux — per-dataset aux-prototype OHEM(0.7) × aux_weight (:1044-1056);
+  * adv/mse — GAN-BCE on discriminator triples, or MSE feature consistency
+    between consecutive GCN layers (first 3 layers only, :1117-1127);
+  * init-stage distillation — graph MSE×10 to identity graphs + prototype
+    MSE×10·n to the frozen seg prototypes (:1091-1115).
+
+Interface difference from the reference: per-dataset tensors arrive as lists
+(features, labels) instead of a stacked batch + dataset_ids mask, and the
+annealing `max_rate` plus stage flags come in as explicit arguments — the
+reference reads them from the configer's mutable iter counter.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from mds_tpu.evaluation.evaluator import resize_bilinear_ac
+from mds_tpu.losses.ohem_ce import MdsOhemCELoss, OhemCELoss, cross_entropy_per_pixel
+from mds_tpu.models.semseg import proto_logits, remap_logits
+
+
+def similarity_dsb(proto_vecs: jax.Array, temperature: float = 0.07,
+                   reduce: str = "mean") -> jax.Array:
+    """Entropy of the prototype self-similarity softmax
+    (loss_cross_datasets.py:872-890)."""
+    z = proto_vecs @ proto_vecs.T
+    p = jax.nn.softmax(z / temperature, axis=1)
+    logp = jax.nn.log_softmax(z / temperature, axis=1)
+    if reduce == "mean":
+        return -jnp.mean(p * logp)
+    return -jnp.sum(p * logp)
+
+
+class CrossDatasetsCELossAdvGNN:
+    def __init__(self, configer):
+        self.configer = configer
+        self.n_datasets = configer.n_datasets
+        self.n_cats = [configer.n_cats(i) for i in range(self.n_datasets)]
+        self.total_cats = sum(self.n_cats)
+        self.max_num_unify_class = int(
+            float(configer.get("GNN", "unify_ratio", default=1.0)) * self.total_cats
+        )
+        g = lambda *k, d=None: configer.get(*k, default=d)
+        self.temperature = float(g("contrast", "temperature", d=0.07))
+        self.with_datasets_aux = bool(g("loss", "with_datasets_aux", d=False))
+        self.with_orth = bool(g("GNN", "with_orth", d=False))
+        self.orth_weight = float(g("GNN", "orth_weight", d=1.0))
+        self.with_spa = bool(g("loss", "with_spa", d=False))
+        self.spa_loss_weight = float(g("loss", "spa_loss_weight", d=0.1))
+        self.with_max_enc = bool(g("loss", "with_max_enc", d=False))
+        self.max_enc_weight = float(g("loss", "max_enc_weight", d=1.0))
+        self.aux_weight = float(g("loss", "aux_weight", d=0.2))
+        self.adv_loss_weight = float(g("loss", "adv_loss_weight", d=1.0))
+        self.adj_loss_weight = float(g("loss", "adj_loss_weight", d=1.0))
+        self.mse_or_adv = g("GNN", "mse_or_adv", d="None")
+        self.with_softmax_and_max = bool(g("GNN", "output_softmax_and_max_adj", d=False))
+        self.with_max_adj = bool(g("GNN", "output_max_adj", d=False))
+        self.ohem = OhemCELoss(0.7)
+        self.mds_ohem = MdsOhemCELoss(0.4)
+
+    # ------------------------------------------------------------ pieces
+    def _remap_ce(self, feats_or_logits, graphs, targets, upscale=4):
+        """Per-dataset remap + ×4 bilinear (ac=True) + global-pool OHEM."""
+        logits_list, labels_list = [], []
+        for i, (lg, lb) in enumerate(zip(feats_or_logits, targets)):
+            if lg is None:
+                continue
+            rl = remap_logits(lg, graphs[i])
+            b, h, w, c = rl.shape
+            rl = resize_bilinear_ac(rl, (h * upscale, w * upscale))
+            logits_list.append(rl)
+            labels_list.append(lb.astype(jnp.int32))
+        return self.mds_ohem(logits_list, labels_list)
+
+    # ------------------------------------------------------------ main
+    def __call__(
+        self,
+        preds: Dict[str, Any],
+        targets: Sequence[Optional[jax.Array]],
+        *,
+        is_adv: bool = True,
+        init_gnn_stage: bool = False,
+        max_rate: float = 0.0,
+        second_stage: bool = False,
+    ):
+        """preds:
+          seg       — per-dataset feature maps (b,h/4,w/4,D) [GNN stage] or
+                      pre-computed unified logits [SEG stage with proto=None]
+          unify_prototype — (Σcats+M, D) with aux rows, or (M, D), or None
+          bi_graphs — list of n (or 2n: [max0, soft0, max1, soft1, …]) graphs
+          adv_pairs/adv_out, adj_block, pretrain_bipart_graph, target_bi_graph
+        targets: per-dataset label maps at full crop resolution.
+        Returns (loss, metrics dict)."""
+        n = self.n_datasets
+        feats = preds["seg"]
+        unify_prototype = preds.get("unify_prototype")
+        bi_graphs = preds.get("bi_graphs", [])
+        metrics: Dict[str, jax.Array] = {}
+        loss = jnp.float32(0.0)
+
+        # unified logits (and aux logits) from features + prototypes
+        aux_logits = preds.get("aux")
+        if unify_prototype is not None and not init_gnn_stage:
+            if self.with_datasets_aux:
+                aux_logits = []
+                cur = 0
+                for i in range(n):
+                    f = feats[i]
+                    aux_logits.append(
+                        None if f is None else
+                        proto_logits(f, unify_prototype[cur : cur + self.n_cats[i]])
+                    )
+                    cur += self.n_cats[i]
+                uni_proto = unify_prototype[self.total_cats :]
+            else:
+                uni_proto = unify_prototype
+            logits = [
+                None if f is None else proto_logits(f, uni_proto) for f in feats
+            ]
+        else:
+            logits = feats
+
+        # orth
+        if is_adv and self.with_orth and unify_prototype is not None:
+            up = (
+                unify_prototype[self.total_cats :]
+                if self.with_datasets_aux
+                else unify_prototype
+            )
+            orth = self.orth_weight * similarity_dsb(up, self.temperature)
+            loss = loss + orth
+            metrics["orth_loss"] = orth
+
+        two_n = len(bi_graphs) == 2 * n
+
+        # spa / max_enc / adj-target per dataset
+        for i in range(n):
+            if targets[i] is None:
+                continue
+            if is_adv and self.with_spa and not second_stage and two_n:
+                spa = self.spa_loss_weight * jnp.sum(
+                    jnp.square(bi_graphs[2 * i + 1])
+                )
+                loss = loss + spa
+            if is_adv and self.with_max_enc:
+                g = bi_graphs[2 * i] if two_n else bi_graphs[i]
+                me = self.max_enc_weight * jnp.mean(
+                    jnp.square(jnp.max(g, axis=1) - 1.0)
+                )
+                loss = loss + me
+            tbg = preds.get("target_bi_graph")
+            if is_adv and tbg is not None and not second_stage:
+                g = bi_graphs[2 * i + 1] if two_n else bi_graphs[i]
+                mask = (tbg[i] != 255).astype(jnp.float32)
+                base_w = 1.0 / g.shape[1]
+                adj_l = base_w * jnp.sum(jnp.square((g - tbg[i]) * mask))
+                loss = loss + self.adj_loss_weight * adj_l
+                metrics["adj_loss"] = metrics.get("adj_loss", 0.0) + adj_l
+
+        # aux OHEM
+        if self.with_datasets_aux and aux_logits is not None and not init_gnn_stage:
+            aux_total = jnp.float32(0.0)
+            for i in range(n):
+                if aux_logits[i] is None or targets[i] is None:
+                    continue
+                al = aux_logits[i]
+                b, h, w, c = al.shape
+                al = resize_bilinear_ac(
+                    al, (targets[i].shape[1], targets[i].shape[2])
+                )
+                aux_total = aux_total + self.ohem(al, targets[i].astype(jnp.int32))
+            loss = loss + self.aux_weight * aux_total
+            metrics["aux_loss"] = aux_total
+
+        # remap CE (annealed max/softmax mix)
+        if not init_gnn_stage:
+            if is_adv and self.with_softmax_and_max and self.with_max_adj and not second_stage and two_n:
+                max_graphs = [bi_graphs[2 * i] for i in range(n)]
+                soft_graphs = [bi_graphs[2 * i + 1] for i in range(n)]
+                ce_max = self._remap_ce(logits, max_graphs, targets)
+                ce_soft = self._remap_ce(logits, soft_graphs, targets)
+                ce = max_rate * ce_max + (1.0 - max_rate) * ce_soft
+            else:
+                graphs = [bi_graphs[2 * i] for i in range(n)] if two_n else bi_graphs
+                ce = self._remap_ce(logits, graphs, targets)
+            loss = loss + ce
+            metrics["ce_loss"] = ce
+
+        # init-stage distillation
+        if init_gnn_stage:
+            pbg = preds.get("pretrain_bipart_graph")
+            if preds.get("adj_block") is not None and pbg is not None:
+                graph_l = jnp.float32(0.0)
+                cur = 0
+                for j in range(n):
+                    blk = preds["adj_block"][cur : cur + self.n_cats[j]]
+                    graph_l = graph_l + 10.0 * jnp.mean(jnp.square(blk - pbg[j]))
+                    cur += self.n_cats[j]
+                loss = loss + graph_l
+                metrics["graph_loss"] = graph_l
+            if unify_prototype is not None and preds.get("seg_prototype") is not None:
+                mse = (
+                    n * 10.0
+                    * jnp.mean(jnp.square(unify_prototype - preds["seg_prototype"]))
+                )
+                loss = loss + mse
+                metrics["init_proto_mse"] = mse
+
+        # adversarial / mse feature-consistency (first 3 layer pairs)
+        if is_adv and self.mse_or_adv == "mse" and "adv_pairs" in preds:
+            adv = jnp.float32(0.0)
+            for real, fake in preds["adv_pairs"][:3]:
+                adv = adv + jnp.mean(jnp.square(fake - real))
+            loss = loss + self.adv_loss_weight * adv
+            metrics["adv_loss"] = adv
+        elif is_adv and self.mse_or_adv == "adv" and "adv_out" in preds:
+            adv_out = preds["adv_out"]
+            eps = 1e-7
+            bce = lambda p, y: -jnp.mean(
+                y * jnp.log(p + eps) + (1 - y) * jnp.log(1 - p + eps)
+            )
+            g_fake = sum(
+                bce(adv_out[f"ADV{k}"][2], 0.0) for k in (1, 2, 3)
+            )
+            d_loss = sum(
+                bce(adv_out[f"ADV{k}"][0], 0.0) + bce(adv_out[f"ADV{k}"][1], 1.0)
+                for k in (1, 2, 3)
+            )
+            loss = loss + self.adv_loss_weight * g_fake
+            metrics["adv_loss"] = d_loss  # discriminator loss, separate optim
+
+        metrics["loss"] = loss
+        return loss, metrics

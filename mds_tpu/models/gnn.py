@@ -1,0 +1,299 @@
+"""Label-space-unifying bipartite GNN in Flax.
+
+Reference: lib/models/graph_attention_network.py (Learnable_Topology_BGNN,
+:866-1350) and lib/models/ltbgnn_direct_learn.py (Learnable_Topology_BGNN_adj,
+:180-640 — the variant named in configs/ltbgnn_7_datasets_snp.json).
+
+Graph = (Σ dataset class nodes ∥ M unified class nodes). Two adjacency modes:
+  * 'cosine' — linear_adj features → L2-normalize → cosine similarity,
+    masked to the dataset↔unified bipartite blocks, with softmax(τ=0.07)
+    applied per-dataset over the unified columns
+    (graph_attention_network.py:1106-1158);
+  * 'direct' — a learnable (total_cats, M) adjacency parameter, softmaxed
+    per-dataset and embedded symmetrically (ltbgnn_direct_learn.py:495-554).
+
+Both feed 4 GCN/GSAGE layers with dropout, then `linear1` emits the unified
+prototypes. Bipartite outputs per dataset: a max-masked (or externally
+supplied UOT-discrete) graph and/or the softmax graph
+(sep_bipartite_graphs, graph_attention_network.py:1041-1088;
+ltbgnn_direct_learn.py:365-430). The UOT discrete matching itself is in
+mds_tpu.ops.uot_match (host-side, stage boundary only) with β-EMA state held
+by the trainer — the reference hides both inside module attributes
+(`self.uot_bi`, `self.beta`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mds_tpu.registry import MODELS
+
+Dtype = Any
+
+
+def _uniform_init(scale_from_out: bool = True):
+    """torch GraphConvolution reset_parameters: U(−1/√out, 1/√out)
+    (lib/module/module_helper.py:768-772)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        stdv = 1.0 / jnp.sqrt(shape[-1])
+        return jax.random.uniform(key, shape, dtype, -stdv, stdv)
+
+    return init
+
+
+class GCNLayer(nn.Module):
+    """x' = tanh(adj @ (x W) + b + x) (module_helper.py:755-780 + GCN
+    residual graph_attention_network.py:13-25)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, adj):
+        w = self.param("weight", _uniform_init(), (x.shape[-1], self.features))
+        b = self.param("bias", _uniform_init(), (self.features,))
+        return jnp.tanh(adj @ (x @ w) + b + x)
+
+
+class GSAGELayer(nn.Module):
+    """x' = tanh([x ∥ adj@x] W + b) (module_helper.py:787-821 + GSAGE
+    wrapper graph_attention_network.py:27-38)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, adj):
+        w = self.param("weight", _uniform_init(), (2 * x.shape[-1], self.features))
+        b = self.param("bias", _uniform_init(), (self.features,))
+        agg = adj @ x
+        return jnp.tanh(jnp.concatenate([x, agg], axis=-1) @ w + b)
+
+
+class Discriminator(nn.Module):
+    """Linear-LeakyReLU-Dropout-Linear-Sigmoid (module_helper.py:828-848)."""
+
+    hidfeat: int = 128
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        x = nn.Dense(self.hidfeat, kernel_init=nn.initializers.xavier_uniform())(x)
+        x = nn.leaky_relu(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(1, kernel_init=nn.initializers.xavier_uniform())(x)
+        return nn.sigmoid(x)
+
+
+def normalize_adj(mx: jax.Array) -> jax.Array:
+    """Row-normalize D⁻¹A with inf→0 (graph_attention_network.py:1128-1140)."""
+    rowsum = mx.sum(axis=1)
+    r_inv = jnp.where(rowsum != 0, 1.0 / rowsum, 0.0)
+    return mx * r_inv[:, None]
+
+
+class LearnableTopologyBGNN(nn.Module):
+    """Both BGNN variants behind one module; `adj_mode` selects them.
+
+    forward returns dict(unify_prototype, bi_graphs, adv_pairs, adj_block,
+    ret_feats): bi_graphs is the per-dataset list of **softmax** graphs (the
+    differentiable half); the discrete/max half is composed by the caller
+    from `adj_block` via uot_match or max-masking (see
+    mds_tpu.engine.gnn_trainer) because it is non-differentiable host logic
+    in the reference too (detached uot_bi, ltbgnn_direct_learn.py:367-377).
+    """
+
+    dataset_cats: Sequence[int]
+    nfeat: int = 1024
+    nfeat_out: int = 512
+    nfeat_adj: int = 256
+    output_feat_dim: int = 512
+    unify_ratio: float = 1.0
+    dropout_rate: float = 0.5
+    gnn_type: str = "GSAGE"  # or "GCN"
+    adj_mode: str = "direct"  # or "cosine"
+    mse_or_adv: str = "None"  # "mse" | "adv" | "None"
+    with_datasets_aux: bool = False
+    init_stage: bool = False  # direct mode: raw adjacency (no softmax)
+    temperature: float = 0.07
+
+    @property
+    def total_cats(self) -> int:
+        return int(sum(self.dataset_cats))
+
+    @property
+    def max_num_unify_class(self) -> int:
+        return int(self.unify_ratio * self.total_cats)
+
+    @classmethod
+    def from_configer(cls, configer, adj_mode: Optional[str] = None, **kw):
+        n = configer.n_datasets
+        name = configer.get("GNN", "model_name", default="learnable_topology_BGNN_adj")
+        if adj_mode is None:
+            adj_mode = "direct" if name.endswith("_adj") else "cosine"
+        return cls(
+            dataset_cats=tuple(configer.n_cats(i) for i in range(n)),
+            nfeat=int(configer.get("GNN", "nfeat", default=1024)),
+            nfeat_out=int(configer.get("GNN", "nfeat_out", default=512)),
+            nfeat_adj=int(configer.get("GNN", "nfeat_adj", default=256)),
+            output_feat_dim=int(configer.get("GNN", "output_feat_dim", default=512)),
+            unify_ratio=float(configer.get("GNN", "unify_ratio", default=1.0)),
+            dropout_rate=float(configer.get("GNN", "dropout_rate", default=0.5)),
+            gnn_type=configer.get("GNN", "GNN_type", default="GSAGE"),
+            adj_mode=adj_mode,
+            mse_or_adv=configer.get("GNN", "mse_or_adv", default="None"),
+            with_datasets_aux=bool(
+                configer.get("loss", "with_datasets_aux", default=False)
+            ),
+            init_stage=bool(configer.get("GNN", "init_by_eval", default=False)),
+            **kw,
+        )
+
+    def setup(self):
+        T, M = self.total_cats, self.max_num_unify_class
+        self.linear_before = nn.Dense(self.nfeat_out)
+        self.linear_adj = nn.Dense(self.nfeat_adj)
+        self.linear1 = nn.Dense(self.output_feat_dim)
+        layer_cls = GSAGELayer if self.gnn_type == "GSAGE" else GCNLayer
+        self.gcn_layers = [layer_cls(self.nfeat_out) for _ in range(4)]
+        self.unify_node_features = self.param(
+            "unify_node_features", nn.initializers.truncated_normal(0.02),
+            (M, self.nfeat), jnp.float32,
+        )
+        if self.adj_mode == "direct":
+            # torch.rand init (ltbgnn_direct_learn.py:256)
+            self.adj_matrix = self.param(
+                "adj_matrix",
+                lambda k, s: jax.random.uniform(k, s, jnp.float32, 0.0, 1.0),
+                (T, M),
+            )
+        if self.mse_or_adv == "adv":
+            self.netD = [Discriminator(dropout=self.dropout_rate) for _ in range(4)]
+
+    # ---------------------------------------------------------------- adjacency
+    def _softmax_blocks(self, block: jax.Array) -> jax.Array:
+        """Per-dataset softmax(τ) over the dataset-class axis of the
+        (total_cats, M) bipartite block."""
+        outs = []
+        cur = 0
+        for c in self.dataset_cats:
+            outs.append(jax.nn.softmax(block[cur : cur + c] / self.temperature, axis=0))
+            cur += c
+        return jnp.concatenate(outs, axis=0)
+
+    def calc_adjacency(self, feat1: jax.Array):
+        """→ (norm_adj (T+M,T+M), bipartite_block (T,M) post-softmax,
+        adj_feat or None)."""
+        T, M = self.total_cats, self.max_num_unify_class
+        if self.adj_mode == "direct":
+            block = self.adj_matrix
+            if not self.init_stage:
+                block = self._softmax_blocks(block)
+            adj_feat = None
+        else:
+            adj_feat = self.linear_adj(feat1)
+            nf = adj_feat / jnp.maximum(
+                jnp.linalg.norm(adj_feat, axis=1, keepdims=True), 1e-12
+            )
+            sim = nf @ nf.T
+            block = self._softmax_blocks(sim[:T, T:])
+        upper = jnp.concatenate([jnp.zeros((T, T), block.dtype), block], axis=1)
+        lower = jnp.concatenate([block.T, jnp.zeros((M, M), block.dtype)], axis=1)
+        adj = jnp.concatenate([upper, lower], axis=0)
+        return normalize_adj(adj), block, adj_feat
+
+    # ---------------------------------------------------------------- forward
+    def __call__(self, x: jax.Array, *, train: bool = True):
+        """x: (total_cats, nfeat) dataset class-node features."""
+        T = self.total_cats
+        input_x = jnp.concatenate([x, self.unify_node_features], axis=0)
+        feat1 = self.linear_before(input_x)
+        adj, block, adj_feat = self.calc_adjacency(feat1)
+        h = nn.relu(feat1)
+
+        def dropout(t):
+            if not train or self.dropout_rate <= 0.0:
+                return t
+            keep = jax.random.bernoulli(
+                self.make_rng("dropout"), 1.0 - self.dropout_rate, t.shape
+            )
+            return jnp.where(keep, t / (1.0 - self.dropout_rate), 0.0)
+
+        feats = []
+        adv_pairs = []
+        for li, layer in enumerate(self.gcn_layers):
+            h_in = dropout(h)
+            h_out = layer(h_in, adj)
+            prev = nn.relu(feat1) if li == 0 else feats[-1]
+            adv_pairs.append((jax.lax.stop_gradient(prev), h_out))
+            feats.append(h_out)
+            h = h_out
+
+        feat_out = self.linear1(feats[-1])
+        proto = feat_out if self.with_datasets_aux else feat_out[T:]
+        bi_graphs = self.sep_bipartite_graphs(block)
+        ret_feats = [f[T:] for f in feats] + [feat_out[T:]]
+        return {
+            "unify_prototype": proto,
+            "bi_graphs": bi_graphs,
+            "adv_pairs": adv_pairs,
+            "adj_block": block,
+            "ret_feats": ret_feats,
+        }
+
+    def sep_bipartite_graphs(self, block: jax.Array) -> List[jax.Array]:
+        """Per-dataset softmax graphs (n_cats_i, M); the max/discrete variants
+        are composed outside (max_mask_graphs / uot)."""
+        out = []
+        cur = 0
+        for c in self.dataset_cats:
+            out.append(block[cur : cur + c])
+            cur += c
+        return out
+
+    def infer_prototypes(self, x: jax.Array):
+        """get_optimal_matching's deterministic forward (no dropout):
+        → (prototype rows, raw bipartite block) — the caller runs UOT/identity
+        on the block (ltbgnn_direct_learn.py:555-640)."""
+        out = self.__call__(x, train=False)
+        return out["unify_prototype"], out["adj_block"]
+
+    def discriminate(self, adv_pairs, *, train: bool):
+        """adv mode: run the 4 discriminators on (real.detach, fake.detach,
+        fake) triples (graph_attention_network.py:976-1022)."""
+        assert self.mse_or_adv == "adv"
+        outs = {}
+        for i, (real, fake) in enumerate(adv_pairs):
+            d = self.netD[i]
+            outs[f"ADV{i + 1}"] = [
+                d(jax.lax.stop_gradient(real), train=train),
+                d(jax.lax.stop_gradient(fake), train=train),
+                d(fake, train=train),
+            ]
+        return outs
+
+
+def max_mask_graphs(block, dataset_cats) -> List[jax.Array]:
+    """The non-Gumbel 'max' graphs: zero all but each column's max row
+    (graph_attention_network.py:1060-1068)."""
+    out = []
+    cur = 0
+    for c in dataset_cats:
+        g = block[cur : cur + c]
+        mx = jnp.max(g, axis=0, keepdims=True)
+        out.append(jnp.where(g == mx, g, 0.0))
+        cur += c
+    return out
+
+
+@MODELS.register("learnable_topology_BGNN_adj")
+def ltbgnn_adj(configer=None, **kw):
+    return LearnableTopologyBGNN.from_configer(configer, adj_mode="direct", **kw)
+
+
+@MODELS.register("learnable_topology_BGNN")
+def ltbgnn(configer=None, **kw):
+    return LearnableTopologyBGNN.from_configer(configer, adj_mode="cosine", **kw)

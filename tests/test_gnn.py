@@ -1,0 +1,236 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mds_tpu.config import Configer
+from mds_tpu.losses.cross_datasets import CrossDatasetsCELossAdvGNN, similarity_dsb
+from mds_tpu.models.gnn import LearnableTopologyBGNN, max_mask_graphs, normalize_adj
+from mds_tpu.ops.sinkhorn import (
+    log_optimal_transport,
+    sinkhorn_knopp_unbalanced,
+    solve_optimal_transport,
+)
+from mds_tpu.ops.uot_match import (
+    pretrain_bipartite_graphs,
+    sep_bipartite_graphs_by_uot,
+    uot_bipartite_match,
+)
+
+CATS = (3, 4)
+NFEAT = 16
+
+
+# ------------------------------------------------------------------- sinkhorn
+def np_uot(a, b, M, reg, reg_m, iters=1000, thr=1e-6):
+    """Independent numpy reimplementation of POT sinkhorn_knopp_unbalanced."""
+    K = np.exp(-M / reg)
+    fi = reg_m / (reg_m + reg)
+    u = np.ones(len(a)) / len(a)
+    v = np.ones(len(b)) / len(b)
+    for _ in range(iters):
+        u_prev, v_prev = u, v
+        u = (a / (K @ v)) ** fi
+        v = (b / (K.T @ u)) ** fi
+        err = 0.5 * (
+            np.max(np.abs(u - u_prev)) / max(np.max(np.abs(u)), np.max(np.abs(u_prev)), 1.0)
+            + np.max(np.abs(v - v_prev)) / max(np.max(np.abs(v)), np.max(np.abs(v_prev)), 1.0)
+        )
+        if err < thr:
+            break
+    return u[:, None] * K * v[None, :]
+
+
+def test_uot_matches_numpy_reference():
+    rng = np.random.default_rng(0)
+    M = rng.random((6, 4)).astype(np.float64)
+    a = np.full(6, 1 / 6)
+    b = np.full(4, 1 / 4)
+    want = np_uot(a, b, M, reg=0.01, reg_m=5.0)
+    got = np.asarray(
+        sinkhorn_knopp_unbalanced(jnp.asarray(a), jnp.asarray(b), jnp.asarray(M), 0.01, 5.0)
+    )
+    # ours runs f32 on device, the reference f64 — tolerance reflects that
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-4)
+    # mass roughly preserved vs marginals (unbalanced: close, not exact)
+    assert 0.2 < got.sum() < 2.0
+
+
+def test_balanced_sinkhorn_marginals():
+    rng = np.random.default_rng(1)
+    scores = jnp.asarray(rng.normal(0, 1, (1, 5, 7)), jnp.float32)
+    Z = log_optimal_transport(scores, iters=200)
+    P = np.exp(np.asarray(Z))  # scaled by m+n
+    # the v-update runs last, so the column marginal is satisfied exactly
+    # (rows only approximately — rectangular uniform marginals are inconsistent)
+    np.testing.assert_allclose(P.sum(1), np.ones((1, 7)), atol=2e-2)
+
+
+def test_solve_ot_mutual_max_identity():
+    # strongly diagonal scores → identity matching
+    s = jnp.asarray(10 * np.eye(4)[None], jnp.float32)
+    res = solve_optimal_transport(s, 100, -10)
+    np.testing.assert_array_equal(np.asarray(res["matches1"][0]), np.arange(4))
+
+
+# ------------------------------------------------------------------- uot match
+def test_uot_match_invariants():
+    rng = np.random.default_rng(2)
+    n_cats, M = 5, 9
+    aff = rng.random((n_cats, M))
+    beta = np.full(n_cats, 1 / n_cats)
+    g, nb = uot_bipartite_match(aff, beta, uot_ratio=1.0)
+    assert g.shape == (n_cats, M)
+    # every dataset class keeps at least one unified column
+    assert (g.sum(axis=1) >= 1).all()
+    # every unified column maps to at most one class
+    assert (g.sum(axis=0) <= 1).all()
+    # beta EMA moved but stays a distribution-ish vector
+    assert nb.shape == beta.shape and not np.allclose(nb, beta)
+
+
+def test_sep_uot_multidataset():
+    rng = np.random.default_rng(3)
+    adj = rng.random((sum(CATS), 10))
+    betas = [np.full(c, 1 / c) for c in CATS]
+    graphs, new_betas = sep_bipartite_graphs_by_uot(adj, CATS, betas)
+    assert len(graphs) == 2
+    assert graphs[0].shape == (3, 10) and graphs[1].shape == (4, 10)
+    for g in graphs:
+        assert (g.sum(axis=1) >= 1).all()
+
+
+def test_pretrain_identity_graphs():
+    gs = pretrain_bipartite_graphs(CATS, 10)
+    assert gs[0][0, 0] == 1 and gs[1][0, 3] == 1
+    np.testing.assert_array_equal(gs[0].sum(1), np.ones(3))
+
+
+# ------------------------------------------------------------------- gnn model
+@pytest.fixture(scope="module")
+def gnn_and_vars():
+    model = LearnableTopologyBGNN(
+        dataset_cats=CATS, nfeat=NFEAT, nfeat_out=8, nfeat_adj=8,
+        output_feat_dim=8, unify_ratio=1.0, adj_mode="direct",
+        with_datasets_aux=True, mse_or_adv="mse",
+    )
+    x = jnp.zeros((sum(CATS), NFEAT))
+    v = model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+                   x, train=False)
+    return model, v
+
+
+def test_gnn_forward_shapes(gnn_and_vars):
+    model, v = gnn_and_vars
+    T, M = sum(CATS), sum(CATS)
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (T, NFEAT)), jnp.float32)
+    out = model.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert out["unify_prototype"].shape == (T + M, 8)  # aux rows + unified
+    assert len(out["bi_graphs"]) == 2
+    assert out["bi_graphs"][0].shape == (3, M)
+    assert out["adj_block"].shape == (T, M)
+    # softmax over dataset-class axis per dataset
+    np.testing.assert_allclose(np.asarray(out["bi_graphs"][0]).sum(0), 1.0, atol=1e-5)
+    assert len(out["adv_pairs"]) == 4 and len(out["ret_feats"]) == 5
+
+
+def test_gnn_cosine_mode():
+    model = LearnableTopologyBGNN(
+        dataset_cats=CATS, nfeat=NFEAT, nfeat_out=8, nfeat_adj=8,
+        output_feat_dim=8, adj_mode="cosine",
+    )
+    x = jnp.zeros((sum(CATS), NFEAT))
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out = model.apply(v, x, train=False)
+    assert out["unify_prototype"].shape == (sum(CATS), 8)
+
+
+def test_normalize_adj_rows():
+    a = jnp.asarray([[1.0, 3.0], [0.0, 0.0]])
+    n = np.asarray(normalize_adj(a))
+    np.testing.assert_allclose(n[0], [0.25, 0.75])
+    np.testing.assert_allclose(n[1], [0.0, 0.0])
+
+
+def test_max_mask_graphs():
+    block = jnp.asarray(np.random.default_rng(0).random((sum(CATS), 7)), jnp.float32)
+    gs = max_mask_graphs(block, CATS)
+    for g in gs:
+        g = np.asarray(g)
+        assert ((g > 0).sum(axis=0) == 1).all()  # one surviving row per column
+
+
+# ------------------------------------------------------------------- adv loss
+def _mk_configer():
+    return Configer(configs={
+        "n_datasets": 2,
+        "dataset1": {"n_cats": 3}, "dataset2": {"n_cats": 4},
+        "GNN": {"unify_ratio": 1.0, "with_orth": True, "orth_weight": 1.0,
+                 "mse_or_adv": "mse", "output_max_adj": True,
+                 "output_softmax_and_max_adj": True},
+        "loss": {"with_datasets_aux": True, "aux_weight": 0.2,
+                  "with_spa": True, "spa_loss_weight": 0.1},
+        "contrast": {"temperature": 0.07},
+    })
+
+
+def test_adv_gnn_loss_smoke():
+    cfg = _mk_configer()
+    crit = CrossDatasetsCELossAdvGNN(cfg)
+    rng = np.random.default_rng(4)
+    T, M, D = 7, 7, 8
+    h = w = 8
+    feats = [jnp.asarray(rng.normal(0, 1, (2, h, w, D)), jnp.float32),
+             jnp.asarray(rng.normal(0, 1, (1, h, w, D)), jnp.float32)]
+    proto = jnp.asarray(rng.normal(0, 1, (T + M, D)), jnp.float32)
+    block = jax.nn.softmax(jnp.asarray(rng.normal(0, 1, (T, M)), jnp.float32), axis=0)
+    graphs = []
+    from mds_tpu.models.gnn import max_mask_graphs as mmg
+    maxg = mmg(block, (3, 4))
+    cur = 0
+    for i, c in enumerate((3, 4)):
+        graphs.extend([maxg[i], block[cur:cur + c]])
+        cur += c
+    targets = [jnp.asarray(rng.integers(0, 3, (2, h * 4, w * 4)), jnp.int32),
+               jnp.asarray(rng.integers(0, 4, (1, h * 4, w * 4)), jnp.int32)]
+    adv_pairs = [(jnp.zeros((T + M, 8)), jnp.ones((T + M, 8)) * 0.1)] * 4
+    loss, metrics = crit(
+        {"seg": feats, "unify_prototype": proto, "bi_graphs": graphs,
+         "adv_pairs": adv_pairs},
+        targets, is_adv=True, max_rate=0.5,
+    )
+    assert np.isfinite(float(loss))
+    for k in ("ce_loss", "orth_loss", "aux_loss", "adv_loss"):
+        assert k in metrics, k
+
+
+def test_adv_gnn_loss_grad_flows():
+    cfg = _mk_configer()
+    crit = CrossDatasetsCELossAdvGNN(cfg)
+    rng = np.random.default_rng(5)
+    T, M, D, h = 7, 7, 8, 8
+    feats = [jnp.asarray(rng.normal(0, 1, (1, h, h, D)), jnp.float32),
+             jnp.asarray(rng.normal(0, 1, (1, h, h, D)), jnp.float32)]
+    targets = [jnp.asarray(rng.integers(0, 3, (1, h * 4, h * 4)), jnp.int32),
+               jnp.asarray(rng.integers(0, 4, (1, h * 4, h * 4)), jnp.int32)]
+    block = jax.nn.softmax(jnp.asarray(rng.normal(0, 1, (T, M)), jnp.float32), axis=0)
+    graphs = [block[:3], block[3:]]
+
+    def f(proto):
+        loss, _ = crit(
+            {"seg": feats, "unify_prototype": proto, "bi_graphs": graphs},
+            targets, is_adv=False,
+        )
+        return loss
+
+    proto = jnp.asarray(rng.normal(0, 1, (T + M, D)), jnp.float32)
+    g = jax.grad(f)(proto)
+    assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).sum() > 0
+
+
+def test_similarity_dsb_entropy():
+    # orthogonal prototypes at low temperature → tiny entropy
+    p = jnp.eye(4) * 10
+    lo = float(similarity_dsb(p, 0.07))
+    hi = float(similarity_dsb(jnp.ones((4, 4)), 0.07))
+    assert lo < hi
