@@ -1,0 +1,288 @@
+"""Alternating SEG/GNN trainer — the 7-dataset flagship stage machine.
+
+Reference: tools/train_ltbgnn_all_datasets_snp.py (1528 LoC). The loop
+(:579-1000) alternates:
+
+  GNN stage (alter_iter ≤ gnn_iters): seg net frozen in eval mode — its
+    features feed the loss; the graph net trains (AdamW, warmup-poly power
+    1.2) with the AdvGNN loss's annealed max/softmax remap CE
+    (`max_rate = alter_iter/gnn_iters`);
+  GNN→SEG switch (:793-849): `get_optimal_matching(node_feats, GNN_INIT)` →
+    UOT-discrete bipartite graphs + prototypes injected into the seg model
+    (set_unify_prototype grad=False, set_bipartite_graphs), seg optimizer
+    rebuilt;
+  SEG stage (alter_iter ≤ seg_iters): seg net trains against the frozen
+    discrete graphs; on expiry the gnn optimizer is rebuilt at a decayed lr
+    (:752-790) and the cycle repeats.
+
+TPU mapping: each stage is one jitted step (donated state); the UOT matching
++ β-EMA live on host at stage boundaries (mds_tpu.ops.uot_match). Batches are
+per-dataset lists sharded over the data mesh; both param sets replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mds_tpu.config import Configer
+from mds_tpu.data.node_features import gen_graph_node_features
+from mds_tpu.engine.lr_schedule import warmup_poly_lr
+from mds_tpu.engine.train_state import TrainState
+from mds_tpu.engine.train_step import normalize_images
+from mds_tpu.losses.cross_datasets import CrossDatasetsCELossAdvGNN
+from mds_tpu.models.gnn import LearnableTopologyBGNN, max_mask_graphs
+from mds_tpu.models.semseg import (
+    SemsegModel,
+    set_bipartite_graphs,
+    set_unify_prototype,
+)
+from mds_tpu.ops.uot_match import pretrain_bipartite_graphs, sep_bipartite_graphs_by_uot
+
+SEG, GNN = "SEG", "GNN"
+
+
+class AlternatingTrainer:
+    """Host-side stage machine over two jitted steps."""
+
+    def __init__(self, configer: Configer, compute_dtype=jnp.float32,
+                 node_features: Optional[np.ndarray] = None):
+        self.configer = configer
+        self.n = configer.n_datasets
+        self.dataset_cats = tuple(configer.n_cats(i) for i in range(self.n))
+        self.total_cats = sum(self.dataset_cats)
+
+        self.seg_model = SemsegModel.from_configer(configer, dtype=compute_dtype)
+        self.gnn_model = LearnableTopologyBGNN.from_configer(configer)
+        self.criterion = CrossDatasetsCELossAdvGNN(configer)
+        self.M = self.seg_model.max_num_unify_class
+
+        if node_features is None:
+            node_features = gen_graph_node_features(
+                configer, nfeat=self.gnn_model.nfeat
+            )
+        self.node_features = jnp.asarray(node_features, jnp.float32)
+
+        g = lambda *k, d=None: configer.get(*k, default=d)
+        self.seg_iters = int(g("train", "seg_iters", d=200))
+        self.gnn_iters = int(g("train", "gnn_iters", d=60))
+        self.max_iter = int(g("lr", "max_iter", d=1000))
+        wd = float(g("lr", "weight_decay", d=1e-5))
+        warmup = int(g("lr", "warmup_iters", d=10))
+        self.seg_lr = float(g("lr", "seg_lr_start", d=1e-3))
+        self.gnn_lr = float(g("lr", "gnn_lr_start", d=1e-3))
+        self.seg_tx = optax.adamw(
+            warmup_poly_lr(self.seg_lr, 0.9, self.max_iter, warmup_iter=warmup),
+            weight_decay=wd,
+        )
+        self._gnn_sched = lambda lr: warmup_poly_lr(
+            lr, 1.2, self.gnn_iters, warmup_iter=min(warmup, self.gnn_iters // 2)
+        )
+        self.gnn_tx = optax.adamw(self._gnn_sched(self.gnn_lr), weight_decay=wd)
+
+        # per-dataset normalization stats
+        from mds_tpu.engine.trainer import dataset_stats
+
+        self.means, self.stds = dataset_stats(configer)
+
+        # init states
+        crop = g("train", "cropsize", d=[64, 64])
+        sample = [jnp.zeros((1, crop[0], crop[1], 3), jnp.float32)] * self.n
+        seg_vars = self.seg_model.init({"params": jax.random.PRNGKey(0)},
+                                       sample, train=True)
+        self.seg_state = TrainState(
+            params=seg_vars["params"],
+            batch_stats=seg_vars.get("batch_stats", {}),
+            opt_state=self.seg_tx.init(seg_vars["params"]),
+            step=jnp.asarray(0, jnp.int32),
+        )
+        self.seg_buffers = seg_vars.get("buffers", {})
+        gnn_vars = self.gnn_model.init(
+            {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+            self.node_features, train=False,
+        )
+        self.gnn_state = TrainState(
+            params=gnn_vars["params"], batch_stats={},
+            opt_state=self.gnn_tx.init(gnn_vars["params"]),
+            step=jnp.asarray(0, jnp.int32),
+        )
+
+        # UOT β state + current discrete graphs (host)
+        self.betas = [np.full(c, 1.0 / c) for c in self.dataset_cats]
+        self.uot_bi: Optional[List[np.ndarray]] = None
+        self.stage = GNN
+        self.alter_iter = 0
+        self._build_steps(compute_dtype)
+        # start from identity graphs (init phase; ref :416-431)
+        self.seg_buffers = set_bipartite_graphs(
+            {"buffers": self.seg_buffers},
+            pretrain_bipartite_graphs(self.dataset_cats, self.M),
+        )["buffers"]
+
+    # ------------------------------------------------------------------ steps
+    def _build_steps(self, compute_dtype):
+        seg_model, gnn_model, crit = self.seg_model, self.gnn_model, self.criterion
+        means = [jnp.asarray(m) for m in self.means]
+        stds = [jnp.asarray(s) for s in self.stds]
+        n = self.n
+
+        def gnn_loss_fn(gnn_params, seg_state, buffers, node_feats, ims, lbs, rng, max_rate):
+            xs = normalize_images(ims, means, stds, dtype=compute_dtype)
+            feats = seg_model.apply(
+                {"params": seg_state.params, "batch_stats": seg_state.batch_stats,
+                 "buffers": buffers},
+                xs, train=False, method=seg_model.features,
+            )
+            feats = [None if f is None else jax.lax.stop_gradient(f) for f in feats]
+            out = gnn_model.apply(
+                {"params": gnn_params}, node_feats, train=True,
+                rngs={"dropout": rng},
+            )
+            # 2n graphs: [max0, soft0, max1, soft1, …] — max graphs are the
+            # stop-gradient max-masked block (the UOT-discrete stand-in inside
+            # jit; the true UOT graphs replace them at the stage switch)
+            maxg = [
+                jax.lax.stop_gradient(g)
+                for g in max_mask_graphs(out["adj_block"], self.dataset_cats)
+            ]
+            graphs = []
+            for i in range(n):
+                graphs.extend([maxg[i], out["bi_graphs"][i]])
+            preds = {
+                "seg": feats,
+                "unify_prototype": out["unify_prototype"],
+                "bi_graphs": graphs,
+                "adv_pairs": out["adv_pairs"],
+                "adj_block": out["adj_block"],
+            }
+            loss, metrics = crit(preds, lbs, is_adv=True, max_rate=max_rate)
+            return loss, metrics
+
+        def gnn_step(gnn_state, seg_state, buffers, node_feats, ims, lbs, rng, max_rate):
+            rng = jax.random.fold_in(rng, gnn_state.step)
+            grads, metrics = jax.grad(gnn_loss_fn, has_aux=True)(
+                gnn_state.params, seg_state, buffers, node_feats, ims, lbs, rng, max_rate
+            )
+            updates, opt_state = self.gnn_tx.update(
+                grads, gnn_state.opt_state, gnn_state.params
+            )
+            params = optax.apply_updates(gnn_state.params, updates)
+            return (
+                TrainState(params=params, batch_stats={}, opt_state=opt_state,
+                           step=gnn_state.step + 1),
+                metrics,
+            )
+
+        def seg_loss_fn(seg_params, batch_stats, buffers, ims, lbs):
+            xs = normalize_images(ims, means, stds, dtype=compute_dtype)
+            out, mut = seg_model.apply(
+                {"params": seg_params, "batch_stats": batch_stats,
+                 "buffers": buffers},
+                xs, train=True, mutable=["batch_stats"],
+            )
+            graphs = [buffers[f"bi_graph_{i}"] for i in range(n)]
+            preds = {
+                "seg": out["seg"],
+                "aux": out.get("aux"),
+                "unify_prototype": None,
+                "bi_graphs": graphs,
+            }
+            loss, metrics = crit(preds, lbs, is_adv=False)
+            return loss, (mut["batch_stats"], metrics)
+
+        def seg_step(seg_state, buffers, ims, lbs):
+            grads, (new_stats, metrics) = jax.grad(seg_loss_fn, has_aux=True)(
+                seg_state.params, seg_state.batch_stats, buffers, ims, lbs
+            )
+            updates, opt_state = self.seg_tx.update(
+                grads, seg_state.opt_state, seg_state.params
+            )
+            params = optax.apply_updates(seg_state.params, updates)
+            return (
+                TrainState(params=params, batch_stats=new_stats,
+                           opt_state=opt_state, step=seg_state.step + 1),
+                metrics,
+            )
+
+        self._gnn_step = jax.jit(gnn_step, donate_argnums=(0,))
+        self._seg_step = jax.jit(seg_step, donate_argnums=(0,))
+        self._infer = jax.jit(
+            lambda p, nf: gnn_model.apply({"params": p}, nf,
+                                          method=gnn_model.infer_prototypes)
+        )
+
+    # ------------------------------------------------------------ transitions
+    def optimal_matching(self):
+        """GNN→SEG switch payload: (prototypes, discrete UOT graphs)
+        (reference :793-849 → ltbgnn_direct_learn.py get_optimal_matching)."""
+        proto, block = self._infer(self.gnn_state.params, self.node_features)
+        graphs, self.betas = sep_bipartite_graphs_by_uot(
+            np.asarray(block), self.dataset_cats, self.betas,
+            uot_ratio=float(self.configer.get("GNN", "uot_ratio", default=1.0)),
+        )
+        self.uot_bi = graphs
+        return np.asarray(proto), graphs
+
+    def switch_to_seg(self):
+        proto, graphs = self.optimal_matching()
+        variables = {"params": dict(self.seg_state.params), "buffers": self.seg_buffers}
+        variables = set_unify_prototype(
+            variables, proto,
+            datasets_cats=self.dataset_cats,
+            with_datasets_aux=self.seg_model.with_datasets_aux,
+        )
+        variables = set_bipartite_graphs(variables, graphs)
+        self.seg_buffers = variables["buffers"]
+        # fresh seg optimizer (reference rebuilds it at each switch, :260-263)
+        self.seg_state = TrainState(
+            params=variables["params"],
+            batch_stats=self.seg_state.batch_stats,
+            opt_state=self.seg_tx.init(variables["params"]),
+            step=self.seg_state.step,
+        )
+        self.stage = SEG
+        self.alter_iter = 0
+
+    def switch_to_gnn(self):
+        # decayed gnn lr on re-entry (reference ratio logic, :752-790)
+        ratio = max(0.1, 1.0 - self.gnn_state.step / max(self.max_iter, 1))
+        self.gnn_tx = optax.adamw(
+            self._gnn_sched(self.gnn_lr * float(ratio)),
+            weight_decay=float(self.configer.get("lr", "weight_decay", default=1e-5)),
+        )
+        self.gnn_state = TrainState(
+            params=self.gnn_state.params, batch_stats={},
+            opt_state=self.gnn_tx.init(self.gnn_state.params),
+            step=self.gnn_state.step,
+        )
+        self._build_steps(jnp.float32)
+        self.stage = GNN
+        self.alter_iter = 0
+
+    # ------------------------------------------------------------------ loop
+    def step(self, batch, rng=None) -> Dict[str, float]:
+        """One alternating-training step on a per-dataset batch dict
+        {ims: [...], lbs: [...]}. Handles stage switching."""
+        if self.stage == SEG and self.alter_iter >= self.seg_iters:
+            self.switch_to_gnn()
+        elif self.stage == GNN and self.alter_iter >= self.gnn_iters:
+            self.switch_to_seg()
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        ims = [jnp.asarray(x) for x in batch["ims"]]
+        lbs = [jnp.asarray(x) for x in batch["lbs"]]
+        if self.stage == GNN:
+            max_rate = jnp.float32(self.alter_iter / max(self.gnn_iters, 1))
+            self.gnn_state, metrics = self._gnn_step(
+                self.gnn_state, self.seg_state, self.seg_buffers,
+                self.node_features, ims, lbs, rng, max_rate,
+            )
+        else:
+            self.seg_state, metrics = self._seg_step(
+                self.seg_state, self.seg_buffers, ims, lbs
+            )
+        self.alter_iter += 1
+        return {k: float(v) for k, v in metrics.items()}

@@ -1,0 +1,70 @@
+"""End-to-end alternating SEG/GNN trainer test on a tiny synthetic config."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mds_tpu.config import Configer
+from mds_tpu.engine.gnn_trainer import GNN, SEG, AlternatingTrainer
+
+
+HW = 64  # swiftnet pyramid needs /16 at deepest level of the 1/4-scale image
+
+
+def tiny_configer():
+    return Configer(configs={
+        "model_name": "snp_rn18",
+        "n_datasets": 2,
+        "dataset1": {"n_cats": 3, "ims_per_gpu": 1},
+        "dataset2": {"n_cats": 4, "ims_per_gpu": 1},
+        "GNN": {
+            "model_name": "learnable_topology_BGNN_adj",
+            "nfeat": 32, "nfeat_out": 16, "nfeat_adj": 16,
+            "output_feat_dim": 16, "adj_feat_dim": 16,
+            "unify_ratio": 1.0, "dropout_rate": 0.1,
+            "GNN_type": "GSAGE", "mse_or_adv": "None",
+            "output_max_adj": True, "output_softmax_and_max_adj": True,
+            "with_orth": True, "orth_weight": 1.0, "uot_ratio": 1.0,
+        },
+        "loss": {"with_datasets_aux": True, "aux_weight": 0.2},
+        "contrast": {"temperature": 0.07},
+        "lr": {"seg_lr_start": 1e-3, "gnn_lr_start": 1e-3,
+                "weight_decay": 1e-5, "max_iter": 20, "warmup_iters": 2},
+        "train": {"seg_iters": 3, "gnn_iters": 3, "cropsize": [HW, HW]},
+    })
+
+
+def make_batch(rng, cats=(3, 4)):
+    ims, lbs = [], []
+    for c in cats:
+        lb8 = rng.integers(0, c, (1, HW // 4, HW // 4))
+        lb = np.repeat(np.repeat(lb8, 4, 1), 4, 2).astype(np.uint8)
+        ims.append(rng.integers(0, 256, (1, HW, HW, 3)).astype(np.uint8))
+        lbs.append(lb)
+    return {"ims": ims, "lbs": lbs}
+
+
+@pytest.mark.slow
+def test_alternating_trainer_full_cycle():
+    cfg = tiny_configer()
+    t = AlternatingTrainer(cfg)
+    assert t.stage == GNN
+    rng = np.random.default_rng(0)
+    losses = []
+    stages = []
+    for i in range(8):  # 3 gnn → switch → 3 seg → switch → 2 gnn
+        m = t.step(make_batch(rng))
+        losses.append(m["loss"])
+        stages.append(t.stage)
+    assert all(np.isfinite(losses)), losses
+    assert stages[:3] == [GNN] * 3
+    assert stages[3:6] == [SEG] * 3
+    assert stages[6] == GNN
+    # after the GNN→SEG switch, discrete graphs were injected
+    assert t.uot_bi is not None
+    for g, c in zip(t.uot_bi, (3, 4)):
+        assert g.shape == (c, t.M)
+        assert (g.sum(axis=1) >= 1).all()
+    # and the seg buffers hold them
+    bg0 = np.asarray(t.seg_buffers["bi_graph_0"])
+    np.testing.assert_array_equal(bg0, t.uot_bi[0])
