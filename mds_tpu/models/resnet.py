@@ -1,0 +1,77 @@
+"""ResNet18 feature backbone for BiSeNetV1 (single-BN).
+
+Reference: lib/models/resnet.py:20-107 — torchvision-layout ResNet18 trunk
+returning (feat8, feat16, feat32). Pretrained-weight loading is handled by
+mds_tpu.deploy.torch_import (key remap from the torchvision checkpoint).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mds_tpu.models.layers import conv_init
+
+Dtype = Any
+
+
+class BasicBlock(nn.Module):
+    """conv3x3-BN-ReLU-conv3x3-BN + shortcut (lib/models/resnet.py:20-49)."""
+
+    out_chan: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        kw = dict(use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                  kernel_init=conv_init())
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, param_dtype=jnp.float32, name=name,
+        )
+        r = nn.Conv(self.out_chan, (3, 3), strides=self.stride,
+                    padding=[(1, 1)] * 2, name="conv1", **kw)(x)
+        r = nn.relu(bn("bn1")(r))
+        r = nn.Conv(self.out_chan, (3, 3), padding=[(1, 1)] * 2, name="conv2", **kw)(r)
+        r = bn("bn2")(r)
+        s = x
+        if x.shape[-1] != self.out_chan or self.stride != 1:
+            s = nn.Conv(self.out_chan, (1, 1), strides=self.stride,
+                        name="downsample_conv", **kw)(x)
+            s = bn("downsample_bn")(s)
+        return nn.relu(s + r)
+
+
+class Resnet18(nn.Module):
+    """(feat8, feat16, feat32) trunk (lib/models/resnet.py:60-91)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        x = nn.Conv(64, (7, 7), strides=2, padding=[(3, 3)] * 2, use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    kernel_init=conv_init(), name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, param_dtype=jnp.float32, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        for i in range(2):
+            x = BasicBlock(64, 1, self.dtype, name=f"layer1_{i}")(x, train=train)
+        feat8 = x
+        for i in range(2):
+            feat8 = BasicBlock(128, 2 if i == 0 else 1, self.dtype,
+                               name=f"layer2_{i}")(feat8, train=train)
+        feat16 = feat8
+        for i in range(2):
+            feat16 = BasicBlock(256, 2 if i == 0 else 1, self.dtype,
+                                name=f"layer3_{i}")(feat16, train=train)
+        feat32 = feat16
+        for i in range(2):
+            feat32 = BasicBlock(512, 2 if i == 0 else 1, self.dtype,
+                                name=f"layer4_{i}")(feat32, train=train)
+        return feat8, feat16, feat32
