@@ -11,3 +11,5 @@ from mds_tpu.models import bisenetv1  # noqa: F401,E402
 from mds_tpu.models import bisenetv2  # noqa: F401,E402
 from mds_tpu.models import swiftnet  # noqa: F401,E402
 from mds_tpu.models import semseg  # noqa: F401,E402
+from mds_tpu.models import hrnet  # noqa: F401,E402
+from mds_tpu.models import gnn  # noqa: F401,E402
