@@ -1,0 +1,192 @@
+"""Loss zoo tests: golden vs torch where cheap, invariants elsewhere."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from mds_tpu.losses.contrast import (
+    MemoryBank,
+    PixelContrastLoss,
+    memory_bank_push,
+)
+from mds_tpu.losses.helpers import (
+    focal_loss,
+    multi_label_cross_entropy,
+    nll_plus_loss,
+    recall_cross_entropy,
+    weighted_nll_plus_loss,
+)
+from mds_tpu.losses.lovasz import boundary_aware_focal_loss, lovasz_grad, lovasz_softmax
+from mds_tpu.losses.rmi import rmi_loss
+
+
+def _rand(shape, seed=0, scale=1.0):
+    return np.random.default_rng(seed).normal(0, scale, shape).astype(np.float32)
+
+
+def test_focal_gamma0_equals_ce():
+    logits = _rand((2, 8, 8, 5), 0)
+    labels = np.random.default_rng(1).integers(0, 5, (2, 8, 8))
+    labels[0, 0, 0] = 255
+    got = float(focal_loss(jnp.asarray(logits), jnp.asarray(labels), gamma=0.0))
+    want = float(
+        F.cross_entropy(
+            torch.from_numpy(logits.transpose(0, 3, 1, 2)),
+            torch.from_numpy(labels.astype(np.int64)),
+            ignore_index=255,
+        )
+    )
+    assert abs(got - want) < 1e-5
+
+
+def test_recall_ce_matches_torch_reference():
+    logits = _rand((1, 8, 8, 4), 2, scale=3)
+    labels = np.random.default_rng(3).integers(0, 4, (1, 8, 8)).astype(np.int64)
+    labels[0, :2, :2] = 255
+
+    # reference semantics (loss_helper.py:31-76)
+    inp = torch.from_numpy(logits.transpose(0, 3, 1, 2))
+    tgt = torch.from_numpy(labels)
+    pred = inp.argmax(1)
+    idex = (pred != tgt).view(-1)
+    gt_counter = torch.ones((256,))
+    gt_idx, gt_count = torch.unique(tgt, return_counts=True)
+    gt_counter[gt_idx] = gt_count.float()
+    fn_counter = torch.ones((256,))
+    fn = tgt.view(-1)[idex]
+    fn_idx, fn_count = torch.unique(fn, return_counts=True)
+    fn_counter[fn_idx] = fn_count.float()
+    weight = fn_counter / gt_counter
+    weight[255] = 0
+    CE = F.cross_entropy(inp, tgt, reduction="none", ignore_index=255)
+    want = float((weight[tgt] * CE).mean())
+
+    got = float(
+        recall_cross_entropy(jnp.asarray(logits), jnp.asarray(labels), 4)
+    )
+    assert abs(got - want) < 1e-5, (got, want)
+
+
+def test_nll_plus_multi_positive():
+    logits = _rand((1, 4, 4, 6), 4)
+    lb0 = np.random.default_rng(5).integers(0, 6, (1, 4, 4))
+    lb1 = np.full((1, 4, 4), 255)
+    lb1[0, 0, 0] = 3  # one pixel has a second admissible label
+    loss = float(
+        nll_plus_loss(jnp.asarray(logits), [jnp.asarray(lb0), jnp.asarray(lb1)])
+    )
+    assert np.isfinite(loss)
+    # adding an alternative can only increase total prob → lower loss
+    loss_single = float(nll_plus_loss(jnp.asarray(logits), [jnp.asarray(lb0)]))
+    assert loss <= loss_single + 1e-6
+
+
+def test_weighted_nll_plus():
+    logits = _rand((1, 4, 4, 5), 6)
+    mask = np.zeros((1, 4, 4, 5), np.float32)
+    mask[..., 2] = 1
+    loss = float(weighted_nll_plus_loss(jnp.asarray(logits), jnp.asarray(mask)))
+    assert np.isfinite(loss) and loss > 0
+
+
+def test_multilabel_ce_prefers_positives():
+    logits = np.zeros((1, 2, 2, 4), np.float32)
+    logits[..., 1] = 5.0
+    mh_good = np.zeros((1, 2, 2, 4), np.float32)
+    mh_good[..., 1] = 1
+    mh_bad = np.zeros((1, 2, 2, 4), np.float32)
+    mh_bad[..., 2] = 1
+    good = float(multi_label_cross_entropy(jnp.asarray(logits), jnp.asarray(mh_good)))
+    bad = float(multi_label_cross_entropy(jnp.asarray(logits), jnp.asarray(mh_bad)))
+    assert good < bad
+
+
+def test_lovasz_grad_and_perfect_prediction():
+    g = lovasz_grad(jnp.asarray([1.0, 1.0, 0.0]))
+    assert np.isfinite(np.asarray(g)).all()
+    labels = np.random.default_rng(7).integers(0, 3, (1, 8, 8))
+    perfect = jax.nn.one_hot(jnp.asarray(labels), 3) * 50.0
+    loss = float(lovasz_softmax(perfect, jnp.asarray(labels)))
+    assert loss < 1e-3
+    bad = 50.0 - np.asarray(perfect)
+    loss_bad = float(lovasz_softmax(jnp.asarray(bad), jnp.asarray(labels)))
+    assert loss_bad > loss
+
+
+def test_lovasz_matches_torch_reference_impl():
+    """Cross-check against a direct numpy transcription of lovasz_softmax_flat."""
+    rng = np.random.default_rng(8)
+    P, C = 64, 4
+    probas = jax.nn.softmax(jnp.asarray(rng.normal(0, 1, (P, C)), jnp.float32), -1)
+    labels = rng.integers(0, C, P)
+
+    def np_lovasz(probas, labels):
+        losses = []
+        for c in range(C):
+            fg = (labels == c).astype(np.float64)
+            if fg.sum() == 0:
+                continue
+            errors = np.abs(fg - probas[:, c])
+            perm = np.argsort(-errors)
+            errors_sorted = errors[perm]
+            fg_sorted = fg[perm]
+            gts = fg_sorted.sum()
+            inter = gts - np.cumsum(fg_sorted)
+            union = gts + np.cumsum(1 - fg_sorted)
+            jac = 1 - inter / union
+            jac[1:] = jac[1:] - jac[:-1]
+            losses.append((errors_sorted * jac).sum())
+        return np.mean(losses)
+
+    want = np_lovasz(np.asarray(probas, np.float64), labels)
+    from mds_tpu.losses.lovasz import lovasz_softmax_flat
+
+    got = float(
+        lovasz_softmax_flat(probas, jnp.asarray(labels), jnp.ones(P, bool))
+    )
+    assert abs(got - want) < 1e-4, (got, want)
+
+
+def test_boundary_aware_focal():
+    logits = _rand((1, 8, 8, 3), 9)
+    labels = np.random.default_rng(10).integers(0, 3, (1, 8, 8))
+    alphas = np.random.default_rng(11).random((1, 8, 8)).astype(np.float32)
+    loss = float(
+        boundary_aware_focal_loss(
+            jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(alphas), gamma=0.5
+        )
+    )
+    assert np.isfinite(loss) and loss > 0
+
+
+def test_rmi_loss_runs_and_discriminates():
+    rng = np.random.default_rng(12)
+    labels = rng.integers(0, 3, (1, 32, 32))
+    good_logits = np.asarray(jax.nn.one_hot(jnp.asarray(labels), 3)) * 8 - 4
+    bad_logits = _rand((1, 32, 32, 3), 13, scale=2)
+    good = float(rmi_loss(jnp.asarray(good_logits), jnp.asarray(labels), 3,
+                          pool_size=2))
+    bad = float(rmi_loss(jnp.asarray(bad_logits), jnp.asarray(labels), 3,
+                         pool_size=2))
+    assert np.isfinite(good) and np.isfinite(bad)
+    assert good < bad
+
+
+def test_contrast_loss_and_memory_bank():
+    rng = np.random.default_rng(14)
+    C, M, D = 4, 8, 16
+    bank = MemoryBank.create(C, M, D)
+    feats = jnp.asarray(rng.normal(0, 1, (1, 8, 8, D)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, C, (1, 8, 8)), jnp.int32)
+    preds = jnp.asarray(rng.integers(0, C, (1, 8, 8)), jnp.int32)
+    crit = PixelContrastLoss(n_view=4)
+    loss = float(crit(feats, labels, preds, bank, jax.random.PRNGKey(0)))
+    assert np.isfinite(loss) and loss > 0
+    # bank update advances pointers for present classes only
+    bank2 = memory_bank_push(
+        bank, feats.reshape(-1, D), labels.reshape(-1), jax.random.PRNGKey(1)
+    )
+    assert (np.asarray(bank2.ptr) >= np.asarray(bank.ptr)).all()
+    assert np.asarray(bank2.ptr).sum() > 0
