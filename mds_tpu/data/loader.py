@@ -172,12 +172,15 @@ class EvalLoader:
 
 
 def get_data_loader(configer, mode: str = "train", rank: int = 0, world: int = 1,
-                    stage: Optional[int] = None):
+                    stage: Optional[int] = None, batch_multiplier: int = 1):
     """Config-driven loader factory (reference: lib/get_dataloader.py:83-190).
 
     For mode='train' returns one MultiDatasetTrainLoader over all datasets;
     for mode='eval' returns a list of per-dataset EvalLoaders.
+    `batch_multiplier` scales each dataset's `ims_per_gpu` (the reference's
+    per-GPU batch) by the number of local devices this process feeds.
     """
+    import mds_tpu.data.base  # noqa: F401 — populate the DATASETS registry
     from mds_tpu.data.transforms import TransformationTrain, TransformationVal
     from mds_tpu.registry import DATASETS
 
@@ -204,7 +207,7 @@ def get_data_loader(configer, mode: str = "train", rank: int = 0, world: int = 1
             dcfg.get("im_root"), ann, trans_func=trans, mode=mode, **kwargs
         )
         datasets.append(ds)
-        batch_sizes.append(int(dcfg.get("ims_per_gpu", 1)))
+        batch_sizes.append(int(dcfg.get("ims_per_gpu", 1)) * batch_multiplier)
     if mode == "train":
         return MultiDatasetTrainLoader(
             datasets,

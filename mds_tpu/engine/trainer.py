@@ -39,6 +39,8 @@ from mds_tpu.utils.meters import AvgMeter, TimeMeter
 
 
 def build_model(configer: Configer, dtype=jnp.bfloat16):
+    import mds_tpu.models  # noqa: F401 — populate the MODELS registry
+
     name = configer.get("model_name", default="bisenetv2")
     n = configer.n_datasets
     n_classes = tuple(configer.n_cats(i) for i in range(n))
@@ -113,9 +115,12 @@ class Trainer:
     def train(self, loader=None, log_interval: int = 100):
         configer = self.configer
         if loader is None:
+            # ims_per_gpu is per device (reference per-GPU batch); this
+            # process feeds all local devices of the mesh
             loader = get_data_loader(
                 configer, "train",
                 rank=jax.process_index(), world=jax.process_count(),
+                batch_multiplier=self.mesh.devices.size // jax.process_count(),
             )
         time_meter = TimeMeter(self.max_iter)
         loss_meters: Dict[str, AvgMeter] = {"loss": AvgMeter()}

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Training CLI — one entry point replacing the reference's ~30 train scripts.
+
+Usage (reference parity: README.md:119-141, tools/train_amp.py:306):
+  python tools/train.py --config configs/bisenetv2_city.json [--work-dir res]
+      [--max-iter N] [--gnn] [key.path value ...]
+
+--gnn selects the alternating SEG/GNN stage machine
+(tools/train_ltbgnn_all_datasets_snp.py); otherwise the supervised seg
+trainer (tools/train_amp.py skeleton). Multi-host: just run under
+`jax.distributed` — no torch.distributed.launch equivalent needed.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--work-dir", default="./res")
+    ap.add_argument("--max-iter", type=int, default=None)
+    ap.add_argument("--gnn", action="store_true", help="alternating SEG/GNN training")
+    ap.add_argument("--finetune-from", default=None)
+    ap.add_argument("overrides", nargs="*", help="dotted-key config overrides")
+    args = ap.parse_args()
+
+    from mds_tpu.config import Configer
+
+    configer = Configer(config_file=args.config, args_parser=args.overrides)
+    if args.max_iter is not None:
+        configer.update(["lr", "max_iter"], args.max_iter)
+
+    if args.gnn:
+        import jax
+        import numpy as np
+
+        from mds_tpu.data.loader import get_data_loader
+        from mds_tpu.engine.gnn_trainer import AlternatingTrainer
+        from mds_tpu.utils.logger import setup_logger
+        from mds_tpu.utils.meters import AvgMeter, TimeMeter
+
+        logger = setup_logger("mds_tpu_gnn", args.work_dir)
+        trainer = AlternatingTrainer(configer)
+        loader = get_data_loader(
+            configer, "train", rank=jax.process_index(), world=jax.process_count()
+        )
+        max_iter = trainer.max_iter
+        tm, lm = TimeMeter(max_iter), AvgMeter()
+        try:
+            for it in range(max_iter):
+                metrics = trainer.step(next(loader))
+                tm.update()
+                lm.update(metrics["loss"])
+                if (it + 1) % 100 == 0:
+                    t, eta = tm.get()
+                    logger.info(
+                        f"iter {it + 1}/{max_iter} stage={trainer.stage} "
+                        f"loss={lm.get()[0]:.4f} time={t:.2f} eta={eta}"
+                    )
+        finally:
+            loader.close()
+    else:
+        from mds_tpu.engine.trainer import Trainer
+
+        trainer = Trainer(configer, work_dir=args.work_dir)
+        trainer.restore_if_available()
+        trainer.train()
+
+
+if __name__ == "__main__":
+    main()
