@@ -1,5 +1,6 @@
 from mds_tpu.evaluation.evaluator import (  # noqa: F401
     MscEvalV0,
+    MscEvalV0Contrast,
     MscEvalCrop,
     compute_ious,
     confusion_hist,

@@ -139,6 +139,49 @@ class MscEvalV0:
         return miou
 
 
+class MscEvalV0Contrast(MscEvalV0):
+    """GNN-era eval protocol (evaluate.py:100-192 `MscEvalV0_Contrast`,
+    ori_scales=False): the model's remapped logits stay at feature resolution
+    and the LABEL is nearest-downsampled to the logit size instead
+    (evaluate.py:150-157). With ori_scales=True it behaves like MscEvalV0."""
+
+    def __init__(self, scales=(0.5,), flip=False, ignore_label=255,
+                 ori_scales=False):
+        super().__init__(scales, flip, ignore_label)
+        self.ori_scales = ori_scales
+
+    def _batch_fn(self, logits_fn, n_classes, dataset_id, shape):
+        if self.ori_scales:
+            return super()._batch_fn(logits_fn, n_classes, dataset_id, shape)
+        key = ("contrast", shape, n_classes, dataset_id)
+        if key not in self._jit_cache:
+            H, W = shape[1], shape[2]
+
+            def run(im, label):
+                probs = None
+                lb_small = None
+                for scale in self.scales:
+                    sH, sW = get_round_size((int(scale * H), int(scale * W)))
+                    im_sc = resize_bilinear_ac(im, (sH, sW))
+                    logits = logits_fn(im_sc, dataset_id)
+                    lh, lw = logits.shape[1:3]
+                    if lb_small is None:
+                        # nearest label downsample (F.interpolate 'nearest')
+                        ys = (jnp.arange(lh) * H // lh).astype(jnp.int32)
+                        xs = (jnp.arange(lw) * W // lw).astype(jnp.int32)
+                        lb_small = label[:, ys][:, :, xs]
+                    p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                    probs = p if probs is None else probs + p
+                    if self.flip:
+                        lg = logits_fn(im_sc[:, :, ::-1, :], dataset_id)[:, :, ::-1, :]
+                        probs = probs + jax.nn.softmax(lg.astype(jnp.float32), -1)
+                preds = jnp.argmax(probs, axis=-1)
+                return confusion_hist(lb_small, preds, n_classes, self.ignore_label)
+
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key]
+
+
 class MscEvalCrop:
     """Sliding-window crop evaluation (evaluate.py:650-753): pad to cropsize,
     2/3-stride windows, per-chip (+flip) prob accumulation."""

@@ -76,3 +76,31 @@ class MdsOhemCELoss:
         all_valid = jnp.concatenate(valids)
         fn = ohem_mean_exact if self.exact else ohem_mean
         return fn(all_losses, all_valid, self.thresh, self.n_min_ratio)
+
+
+class MdsOhemNLLPlusLoss:
+    """Bipartite-graph-aware multi-dataset OHEM
+    (reference: lib/loss/ohem_ce_loss.py:92-146 — per-dataset AdjNLLPlus
+    losses pooled into one global hard-pixel set)."""
+
+    def __init__(self, thresh: float = 0.4, ignore_lb: int = 255,
+                 n_min_ratio: int = 16, exact: bool = False):
+        self.thresh = -math.log(thresh)
+        self.ignore_lb = ignore_lb
+        self.n_min_ratio = n_min_ratio
+        self.exact = exact
+
+    def __call__(self, logits_list, adjs, labels_list) -> jax.Array:
+        from mds_tpu.losses.helpers import adj_nll_plus_loss
+
+        losses, valids = [], []
+        for logits, adj, labels in zip(logits_list, adjs, labels_list):
+            if logits is None:
+                continue
+            nll, valid = adj_nll_plus_loss(logits, adj, labels, self.ignore_lb)
+            losses.append(nll.reshape(-1))
+            valids.append(valid.reshape(-1))
+        all_losses = jnp.concatenate(losses)
+        all_valid = jnp.concatenate(valids)
+        fn = ohem_mean_exact if self.exact else ohem_mean
+        return fn(all_losses, all_valid, self.thresh, self.n_min_ratio)

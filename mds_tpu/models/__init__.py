@@ -14,3 +14,4 @@ from mds_tpu.models import semseg  # noqa: F401,E402
 from mds_tpu.models import hrnet  # noqa: F401,E402
 from mds_tpu.models import gnn  # noqa: F401,E402
 from mds_tpu.models import swin  # noqa: F401,E402
+from mds_tpu.models import bisenetv2_contrast  # noqa: F401,E402

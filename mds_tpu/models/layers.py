@@ -279,8 +279,11 @@ class SegmentHead(nn.Module):
             param_dtype=jnp.float32, name="conv_out",
         )(x)
         if factor > 1:
+            # resize in the compute dtype: the full-res class volume is the
+            # biggest tensor in the whole graph (1024×2048×19) — keeping it
+            # bf16 halves the dominant HBM traffic of the deploy path
             b, h, w, c = x.shape
             x = jax.image.resize(
-                x.astype(jnp.float32), (b, h * factor, w * factor, c), method="linear"
+                x, (b, h * factor, w * factor, c), method="linear"
             )
-        return x.astype(jnp.float32)
+        return x
