@@ -1,0 +1,234 @@
+"""Import torch checkpoints from the reference's BiSeNetV2 layout.
+
+Reference: lib/models/bisenetv2.py — module names like `detail.S1_1.conv.
+weight`, per-dataset BN buffers `*.bn.{i}.running_mean/var`, shared affine
+`*.affine_weight/bias`, CEBlock per-dataset affine BNs `segment.S5_5.bn.{i}.
+weight/bias`, per-dataset heads `head.{i}.*` / `aux2.{i}.*` … The CoinCheung
+release weights go through the reference's own `load_pretrain` remap first
+(bisenetv2.py:665-764), which produces exactly this layout, so supporting it
+covers both.
+
+Accepts any mapping of name → array-like (torch tensors, numpy arrays) — no
+torch import required at runtime. `bisenetv2_to_torch` is the exact inverse
+(used for round-trip tests and exporting back to torch-land).
+
+Conventions translated:
+  * conv weights OIHW → HWIO;
+  * linear/1×1-conv biases copied as-is;
+  * per-dataset BN stats stacked into our (n_bn, C) arrays;
+  * plain nn.Conv2d (BGA's left1_conv/right2_conv, head conv_out=conv2).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, np.float32)
+
+
+def _conv_w(x) -> np.ndarray:
+    return _np(x).transpose(2, 3, 1, 0)  # OIHW → HWIO
+
+
+_CONVBN_BLOCKS = {
+    # our flax path → torch module path (ConvBNReLU/ConvBN with DatasetNorm)
+    "detail/S1_1": "detail.S1_1", "detail/S1_2": "detail.S1_2",
+    "detail/S2_1": "detail.S2_1", "detail/S2_2": "detail.S2_2",
+    "detail/S2_3": "detail.S2_3", "detail/S3_1": "detail.S3_1",
+    "detail/S3_2": "detail.S3_2", "detail/S3_3": "detail.S3_3",
+    "segment/S1S2/conv": "segment.S1S2.conv",
+    "segment/S1S2/left_1": "segment.S1S2.left_1",
+    "segment/S1S2/left_2": "segment.S1S2.left_2",
+    "segment/S1S2/fuse": "segment.S1S2.fuse",
+    "segment/S5_5/conv_gap": "segment.S5_5.conv_gap",
+    "segment/S5_5/conv_last": "segment.S5_5.conv_last",
+    "bga/left1_convbn": "bga.left1_convbn",
+    "bga/left2_convbn": "bga.left2_convbn",
+    "bga/right1": "bga.right1",
+    "bga/right2_convbn": "bga.right2_convbn",
+    "bga/conv": "bga.conv",
+}
+for _s, _pre in (("S3", 2), ("S4", 2), ("S5_4", 4)):
+    for _i in range(1, _pre + 1):
+        _tag = f"{_s}_{_i}"
+        _ge2 = _i == 1
+        parts = ["conv1", "conv2"] + (
+            ["dwconv1", "dwconv2", "shortcut_1", "shortcut_2"] if _ge2 else ["dwconv"]
+        )
+        for _p in parts:
+            _CONVBN_BLOCKS[f"segment/{_tag}/{_p}"] = f"segment.{_tag}.{_p}"
+
+_PLAIN_CONVS = {
+    "bga/left1_conv": "bga.left1_conv",
+    "bga/right2_conv": "bga.right2_conv",
+}
+
+
+def _head_blocks(n_heads: int, aux: bool):
+    """Per-dataset SegmentHead paths (ours → torch)."""
+    out = {}
+    names = ["head"] + (["aux2", "aux3", "aux4", "aux5_4"] if aux else [])
+    for hname in names:
+        for i in range(n_heads):
+            ours = f"{hname}_{i}"
+            theirs = f"{hname}.{i}"
+            out[f"{ours}/conv", "convbn1"] = f"{theirs}.conv"
+            if hname != "head":
+                out[f"{ours}/conv1", "convbn1"] = f"{theirs}.conv1"
+            out[f"{ours}/conv_out", "conv_b"] = f"{theirs}.conv2"
+    return out
+
+
+def _set(tree: Dict, path: str, value: np.ndarray) -> None:
+    keys = path.split("/")
+    node = tree
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    node[keys[-1]] = value
+
+
+def bisenetv2_from_torch(
+    state: Mapping[str, "np.ndarray"], n_bn: int = 1, aux: bool = True,
+) -> Tuple[Dict, Dict]:
+    """torch state_dict (reference layout) → (params, batch_stats) trees."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    def load_convbn(ours: str, theirs: str, shared_affine: bool = True):
+        _set(params, f"{ours}/conv/kernel", _conv_w(state[f"{theirs}.conv.weight"]))
+        if shared_affine:
+            _set(params, f"{ours}/bn/scale", _np(state[f"{theirs}.affine_weight"]))
+            _set(params, f"{ours}/bn/bias", _np(state[f"{theirs}.affine_bias"]))
+        means, vars_ = [], []
+        for i in range(n_bn):
+            mk = f"{theirs}.bn.{i}.running_mean"
+            if mk not in state:  # single-BN head blocks
+                mk, vk = f"{theirs}.bn.running_mean", f"{theirs}.bn.running_var"
+                means.append(_np(state[mk]))
+                vars_.append(_np(state[vk]))
+                break
+            means.append(_np(state[mk]))
+            vars_.append(_np(state[f"{theirs}.bn.{i}.running_var"]))
+        _set(stats, f"{ours}/bn/mean", np.stack(means))
+        _set(stats, f"{ours}/bn/var", np.stack(vars_))
+
+    for ours, theirs in _CONVBN_BLOCKS.items():
+        load_convbn(ours, theirs)
+    for ours, theirs in _PLAIN_CONVS.items():
+        _set(params, f"{ours}/kernel", _conv_w(state[f"{theirs}.weight"]))
+
+    # CEBlock per-dataset-affine BN (bisenetv2.py:229-268)
+    means, vars_, scales, biases = [], [], [], []
+    for i in range(n_bn):
+        means.append(_np(state[f"segment.S5_5.bn.{i}.running_mean"]))
+        vars_.append(_np(state[f"segment.S5_5.bn.{i}.running_var"]))
+        scales.append(_np(state[f"segment.S5_5.bn.{i}.weight"]))
+        biases.append(_np(state[f"segment.S5_5.bn.{i}.bias"]))
+    _set(stats, "segment/S5_5/bn/mean", np.stack(means))
+    _set(stats, "segment/S5_5/bn/var", np.stack(vars_))
+    _set(params, "segment/S5_5/bn/scale", np.stack(scales))
+    _set(params, "segment/S5_5/bn/bias", np.stack(biases))
+
+    # heads (per dataset): count them from the state dict
+    n_heads = 0
+    while f"head.{n_heads}.conv2.weight" in state:
+        n_heads += 1
+    head_names = ["head"] + (
+        ["aux2", "aux3", "aux4", "aux5_4"]
+        if aux and "aux2.0.conv2.weight" in state else []
+    )
+    for hname in head_names:
+        for i in range(n_heads):
+            ours, theirs = f"{hname}_{i}", f"{hname}.{i}"
+            # head BN is single (n_bn=1); stack shape (1, C)
+            _set(params, f"{ours}/conv/conv/kernel",
+                 _conv_w(state[f"{theirs}.conv.conv.weight"]))
+            _set(params, f"{ours}/conv/bn/scale",
+                 _np(state[f"{theirs}.conv.affine_weight"]))
+            _set(params, f"{ours}/conv/bn/bias",
+                 _np(state[f"{theirs}.conv.affine_bias"]))
+            _set(stats, f"{ours}/conv/bn/mean",
+                 _np(state[f"{theirs}.conv.bn.0.running_mean"])[None])
+            _set(stats, f"{ours}/conv/bn/var",
+                 _np(state[f"{theirs}.conv.bn.0.running_var"])[None])
+            if f"{theirs}.conv1.conv.weight" in state:
+                _set(params, f"{ours}/conv1/conv/kernel",
+                     _conv_w(state[f"{theirs}.conv1.conv.weight"]))
+                _set(params, f"{ours}/conv1/bn/scale",
+                     _np(state[f"{theirs}.conv1.affine_weight"]))
+                _set(params, f"{ours}/conv1/bn/bias",
+                     _np(state[f"{theirs}.conv1.affine_bias"]))
+                _set(stats, f"{ours}/conv1/bn/mean",
+                     _np(state[f"{theirs}.conv1.bn.0.running_mean"])[None])
+                _set(stats, f"{ours}/conv1/bn/var",
+                     _np(state[f"{theirs}.conv1.bn.0.running_var"])[None])
+            _set(params, f"{ours}/conv_out/kernel",
+                 _conv_w(state[f"{theirs}.conv2.weight"]))
+            _set(params, f"{ours}/conv_out/bias",
+                 _np(state[f"{theirs}.conv2.bias"]))
+    return params, stats
+
+
+def bisenetv2_to_torch(params: Dict, stats: Dict) -> Dict[str, np.ndarray]:
+    """Inverse mapping (for round-trip tests / exporting back to torch)."""
+    out: Dict[str, np.ndarray] = {}
+
+    def get(tree, path):
+        node = tree
+        for k in path.split("/"):
+            node = node[k]
+        return np.asarray(node)
+
+    def dump_convbn(ours, theirs):
+        out[f"{theirs}.conv.weight"] = get(params, f"{ours}/conv/kernel").transpose(3, 2, 0, 1)
+        out[f"{theirs}.affine_weight"] = get(params, f"{ours}/bn/scale")
+        out[f"{theirs}.affine_bias"] = get(params, f"{ours}/bn/bias")
+        mean = get(stats, f"{ours}/bn/mean")
+        var = get(stats, f"{ours}/bn/var")
+        for i in range(mean.shape[0]):
+            out[f"{theirs}.bn.{i}.running_mean"] = mean[i]
+            out[f"{theirs}.bn.{i}.running_var"] = var[i]
+
+    for ours, theirs in _CONVBN_BLOCKS.items():
+        dump_convbn(ours, theirs)
+    for ours, theirs in _PLAIN_CONVS.items():
+        out[f"{theirs}.weight"] = get(params, f"{ours}/kernel").transpose(3, 2, 0, 1)
+
+    mean = get(stats, "segment/S5_5/bn/mean")
+    var = get(stats, "segment/S5_5/bn/var")
+    scale = get(params, "segment/S5_5/bn/scale")
+    bias = get(params, "segment/S5_5/bn/bias")
+    for i in range(mean.shape[0]):
+        out[f"segment.S5_5.bn.{i}.running_mean"] = mean[i]
+        out[f"segment.S5_5.bn.{i}.running_var"] = var[i]
+        out[f"segment.S5_5.bn.{i}.weight"] = scale[i]
+        out[f"segment.S5_5.bn.{i}.bias"] = bias[i]
+
+    for key in params:
+        for hname in ("head", "aux2", "aux3", "aux4", "aux5_4"):
+            if key.startswith(hname + "_") and key[len(hname) + 1 :].isdigit():
+                i = int(key[len(hname) + 1 :])
+                ours, theirs = key, f"{hname}.{i}"
+                out[f"{theirs}.conv.conv.weight"] = get(
+                    params, f"{ours}/conv/conv/kernel").transpose(3, 2, 0, 1)
+                out[f"{theirs}.conv.affine_weight"] = get(params, f"{ours}/conv/bn/scale")
+                out[f"{theirs}.conv.affine_bias"] = get(params, f"{ours}/conv/bn/bias")
+                out[f"{theirs}.conv.bn.0.running_mean"] = get(stats, f"{ours}/conv/bn/mean")[0]
+                out[f"{theirs}.conv.bn.0.running_var"] = get(stats, f"{ours}/conv/bn/var")[0]
+                if "conv1" in params[key]:
+                    out[f"{theirs}.conv1.conv.weight"] = get(
+                        params, f"{ours}/conv1/conv/kernel").transpose(3, 2, 0, 1)
+                    out[f"{theirs}.conv1.affine_weight"] = get(params, f"{ours}/conv1/bn/scale")
+                    out[f"{theirs}.conv1.affine_bias"] = get(params, f"{ours}/conv1/bn/bias")
+                    out[f"{theirs}.conv1.bn.0.running_mean"] = get(stats, f"{ours}/conv1/bn/mean")[0]
+                    out[f"{theirs}.conv1.bn.0.running_var"] = get(stats, f"{ours}/conv1/bn/var")[0]
+                out[f"{theirs}.conv2.weight"] = get(
+                    params, f"{ours}/conv_out/kernel").transpose(3, 2, 0, 1)
+                out[f"{theirs}.conv2.bias"] = get(params, f"{ours}/conv_out/bias")
+    return out
