@@ -122,6 +122,9 @@ class Trainer:
                 rank=jax.process_index(), world=jax.process_count(),
                 batch_multiplier=self.mesh.devices.size // jax.process_count(),
             )
+        from mds_tpu.utils.metrics_writer import MetricsWriter
+
+        metrics_writer = MetricsWriter(f"{self.work_dir}/runs")
         time_meter = TimeMeter(self.max_iter)
         loss_meters: Dict[str, AvgMeter] = {"loss": AvgMeter()}
         rng = jax.random.PRNGKey(int(configer.get("seed", default=0) or 0))
@@ -143,8 +146,13 @@ class Trainer:
                     print_log_msg(
                         self.logger, it, self.max_iter, lr, time_meter, loss_meters
                     )
+                    metrics_writer.write(
+                        it + 1, {"seg": float(metrics["loss"]), "lr": lr},
+                        group="loss",
+                    )
                 self.ckpt.maybe_save(self.state)
         finally:
+            metrics_writer.close()
             if hasattr(loader, "close"):
                 loader.close()
         self.ckpt.maybe_save(self.state, force=True)

@@ -130,11 +130,22 @@ def conv_init() -> Callable:
     return nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+# Global switch for the Pallas depthwise kernel. The Pallas path is exact
+# (XLA's grouped conv accumulates in bf16, ~2e-2 drift) but forward-only —
+# enable it for inference/deploy graphs via `use_pallas_depthwise(True)`.
+_PALLAS_DEPTHWISE = False
+
+
+def use_pallas_depthwise(enable: bool = True) -> None:
+    global _PALLAS_DEPTHWISE
+    _PALLAS_DEPTHWISE = enable
+
+
 class DepthwiseConv3x3(nn.Module):
-    """Depthwise/grouped 3×3 conv via the fast shift-and-add path
-    (mds_tpu.ops.depthwise — XLA's grouped-conv lowering is ~200 GFLOP/s on
-    TPU). Parameter name/shape match nn.Conv's HWIO grouped layout so
-    checkpoints are interchangeable."""
+    """Depthwise/grouped 3×3 conv. Default path: XLA grouped conv (slow but
+    differentiable); with use_pallas_depthwise(True): the exact Pallas kernel
+    (mds_tpu.ops.pallas.depthwise). Parameter name/shape match nn.Conv's
+    HWIO grouped layout so checkpoints are interchangeable."""
 
     out_chan: int
     stride: int = 1
@@ -142,14 +153,24 @@ class DepthwiseConv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        from mds_tpu.ops.depthwise import depthwise_conv3x3
-
         c_in = x.shape[-1]
         kernel = self.param(
             "kernel", conv_init(), (3, 3, 1, self.out_chan), jnp.float32
         )
-        w = kernel.astype(self.dtype).reshape(3, 3, c_in, self.out_chan // c_in)
-        return depthwise_conv3x3(x.astype(self.dtype), w, self.stride)
+        if _PALLAS_DEPTHWISE:
+            from mds_tpu.ops.pallas.depthwise import depthwise3x3_pallas
+
+            w = kernel.astype(self.dtype).reshape(
+                3, 3, c_in, self.out_chan // c_in
+            )
+            return depthwise3x3_pallas(x.astype(self.dtype), w, self.stride)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            (self.stride, self.stride), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c_in,
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
 
 
 class ConvBNReLU(nn.Module):
