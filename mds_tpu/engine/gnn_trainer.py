@@ -116,6 +116,15 @@ class AlternatingTrainer:
         self.uot_bi: Optional[List[np.ndarray]] = None
         self.stage = GNN
         self.alter_iter = 0
+        # init phase (reference :416-431 + init_gnn_stage losses): distill the
+        # GNN toward identity graphs + the seg model's current prototypes for
+        # lr.init_iter steps before normal alternation
+        self.init_iters = int(g("lr", "init_iter", d=0))
+        self.mode = g("train", "mode", d="alternate")  # alternate|seg|gnn
+        self._pretrain_graphs = [
+            jnp.asarray(gr)
+            for gr in pretrain_bipartite_graphs(self.dataset_cats, self.M)
+        ]
         self._build_steps(compute_dtype)
         # start from identity graphs (init phase; ref :416-431)
         self.seg_buffers = set_bipartite_graphs(
@@ -208,8 +217,49 @@ class AlternatingTrainer:
                 metrics,
             )
 
+        def init_loss_fn(gnn_params, seg_params, node_feats, rng):
+            """init_gnn_stage (loss_cross_datasets.py:1091-1115): graph MSE to
+            the identity graphs + prototype MSE to the (frozen) seg model's
+            prototypes."""
+            out = gnn_model.apply(
+                {"params": gnn_params}, node_feats, train=True,
+                rngs={"dropout": rng},
+            )
+            seg_proto = jax.lax.stop_gradient(seg_params["unify_prototype"])
+            proto = out["unify_prototype"]
+            if gnn_model.with_datasets_aux:
+                proto = proto[self.total_cats :]
+            preds = {
+                "seg": [None] * n,
+                "unify_prototype": proto,
+                "bi_graphs": out["bi_graphs"],
+                "adj_block": out["adj_block"],
+                "pretrain_bipart_graph": self._pretrain_graphs,
+                "seg_prototype": seg_proto,
+            }
+            loss, metrics = crit(
+                preds, [None] * n, is_adv=False, init_gnn_stage=True
+            )
+            return loss, metrics
+
+        def init_step(gnn_state, seg_state, node_feats, rng):
+            rng = jax.random.fold_in(rng, gnn_state.step)
+            grads, metrics = jax.grad(init_loss_fn, has_aux=True)(
+                gnn_state.params, seg_state.params, node_feats, rng
+            )
+            updates, opt_state = self.gnn_tx.update(
+                grads, gnn_state.opt_state, gnn_state.params
+            )
+            params = optax.apply_updates(gnn_state.params, updates)
+            return (
+                TrainState(params=params, batch_stats={}, opt_state=opt_state,
+                           step=gnn_state.step + 1),
+                metrics,
+            )
+
         self._gnn_step = jax.jit(gnn_step, donate_argnums=(0,))
         self._seg_step = jax.jit(seg_step, donate_argnums=(0,))
+        self._init_step = jax.jit(init_step, donate_argnums=(0,))
         self._infer = jax.jit(
             lambda p, nf: gnn_model.apply({"params": p}, nf,
                                           method=gnn_model.infer_prototypes)
@@ -266,12 +316,29 @@ class AlternatingTrainer:
     # ------------------------------------------------------------------ loop
     def step(self, batch, rng=None) -> Dict[str, float]:
         """One alternating-training step on a per-dataset batch dict
-        {ims: [...], lbs: [...]}. Handles stage switching."""
-        if self.stage == SEG and self.alter_iter >= self.seg_iters:
+        {ims: [...], lbs: [...]}. Handles the init phase and stage switching.
+        `train.mode` ∈ {alternate, seg, gnn} covers the reference's
+        train_ltbgnn_* / train_gnn_only / *_segonly script family."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if self.init_iters > 0:
+            self.init_iters -= 1
+            self.gnn_state, metrics = self._init_step(
+                self.gnn_state, self.seg_state, self.node_features, rng
+            )
+            if self.init_iters == 0:
+                # reference continues in GNN mode after the init phase
+                # (train_seg_or_gnn starts as GNN, :588)
+                self.stage = GNN
+                self.alter_iter = 0
+            return {k: float(v) for k, v in metrics.items()}
+        if self.mode == "seg":
+            self.stage = SEG
+        elif self.mode == "gnn":
+            self.stage = GNN
+        elif self.stage == SEG and self.alter_iter >= self.seg_iters:
             self.switch_to_gnn()
         elif self.stage == GNN and self.alter_iter >= self.gnn_iters:
             self.switch_to_seg()
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
         ims = [jnp.asarray(x) for x in batch["ims"]]
         lbs = [jnp.asarray(x) for x in batch["lbs"]]
         if self.stage == GNN:

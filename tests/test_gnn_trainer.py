@@ -68,3 +68,25 @@ def test_alternating_trainer_full_cycle():
     # and the seg buffers hold them
     bg0 = np.asarray(t.seg_buffers["bi_graph_0"])
     np.testing.assert_array_equal(bg0, t.uot_bi[0])
+
+
+@pytest.mark.slow
+def test_init_phase_and_single_modes():
+    cfg = tiny_configer()
+    cfg.update(["lr", "init_iter"], 2)
+    t = AlternatingTrainer(cfg)
+    rng = np.random.default_rng(1)
+    m1 = t.step(make_batch(rng))
+    assert "graph_loss" in m1 or "init_proto_mse" in m1
+    t.step(make_batch(rng))
+    assert t.init_iters == 0 and t.stage == GNN
+    m3 = t.step(make_batch(rng))  # normal GNN step now
+    assert "ce_loss" in m3
+
+    # seg-only mode (the *_segonly trainer family)
+    cfg2 = tiny_configer()
+    cfg2.update(["train", "mode"], "seg")
+    t2 = AlternatingTrainer(cfg2)
+    for _ in range(2):
+        m = t2.step(make_batch(rng))
+    assert t2.stage == SEG and np.isfinite(m["loss"])
