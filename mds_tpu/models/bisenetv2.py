@@ -43,11 +43,12 @@ class DetailBranch(nn.Module):
     """High-resolution detail path (reference: lib/models/bisenetv2.py:156-189)."""
 
     n_bn: int = 1
+    shared_affine: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xs: MultiX, *, train: bool):
-        cfg = dict(n_bn=self.n_bn, dtype=self.dtype)
+        cfg = dict(n_bn=self.n_bn, shared_affine=self.shared_affine, dtype=self.dtype)
         xs = ConvBNReLU(64, 3, stride=2, name="S1_1", **cfg)(xs, train=train)
         xs = ConvBNReLU(64, 3, name="S1_2", **cfg)(xs, train=train)
         xs = ConvBNReLU(64, 3, stride=2, name="S2_1", **cfg)(xs, train=train)
@@ -64,11 +65,12 @@ class StemBlock(nn.Module):
     (reference: lib/models/bisenetv2.py:192-229)."""
 
     n_bn: int = 1
+    shared_affine: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xs: MultiX, *, train: bool):
-        cfg = dict(n_bn=self.n_bn, dtype=self.dtype)
+        cfg = dict(n_bn=self.n_bn, shared_affine=self.shared_affine, dtype=self.dtype)
         xs = ConvBNReLU(16, 3, stride=2, name="conv", **cfg)(xs, train=train)
         left = ConvBNReLU(8, 1, name="left_1", **cfg)(xs, train=train)
         left = ConvBNReLU(16, 3, stride=2, name="left_2", **cfg)(left, train=train)
@@ -84,11 +86,12 @@ class CEBlock(nn.Module):
     This BN is affine=True per dataset (plain BatchNorm2d, no shared affine)."""
 
     n_bn: int = 1
+    shared_affine: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xs: MultiX, *, train: bool):
-        cfg = dict(n_bn=self.n_bn, dtype=self.dtype)
+        cfg = dict(n_bn=self.n_bn, shared_affine=self.shared_affine, dtype=self.dtype)
         gap = lmap(lambda x: jnp.mean(x, axis=(1, 2), keepdims=True), xs)
         gap = DatasetNorm(
             128, n_bn=self.n_bn, shared_affine=False, dtype=self.dtype, name="bn"
@@ -106,11 +109,12 @@ class GELayerS1(nn.Module):
     out_chan: int
     exp_ratio: int = 6
     n_bn: int = 1
+    shared_affine: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xs: MultiX, *, train: bool):
-        cfg = dict(n_bn=self.n_bn, dtype=self.dtype)
+        cfg = dict(n_bn=self.n_bn, shared_affine=self.shared_affine, dtype=self.dtype)
         mid = self.in_chan * self.exp_ratio
         f = ConvBNReLU(self.in_chan, 3, name="conv1", **cfg)(xs, train=train)
         f = ConvBNReLU(mid, 3, groups=self.in_chan, name="dwconv", **cfg)(f, train=train)
@@ -126,11 +130,12 @@ class GELayerS2(nn.Module):
     out_chan: int
     exp_ratio: int = 6
     n_bn: int = 1
+    shared_affine: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xs: MultiX, *, train: bool):
-        cfg = dict(n_bn=self.n_bn, dtype=self.dtype)
+        cfg = dict(n_bn=self.n_bn, shared_affine=self.shared_affine, dtype=self.dtype)
         mid = self.in_chan * self.exp_ratio
         f = ConvBNReLU(self.in_chan, 3, name="conv1", **cfg)(xs, train=train)
         f = ConvBN(mid, 3, stride=2, groups=self.in_chan, name="dwconv1", **cfg)(f, train=train)
@@ -146,11 +151,12 @@ class SegmentBranch(nn.Module):
     (reference: lib/models/bisenetv2.py:373-407)."""
 
     n_bn: int = 1
+    shared_affine: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xs: MultiX, *, train: bool):
-        cfg = dict(n_bn=self.n_bn, dtype=self.dtype)
+        cfg = dict(n_bn=self.n_bn, shared_affine=self.shared_affine, dtype=self.dtype)
         feat2 = StemBlock(name="S1S2", **cfg)(xs, train=train)
         feat3 = GELayerS2(16, 32, name="S3_1", **cfg)(feat2, train=train)
         feat3 = GELayerS1(32, 32, name="S3_2", **cfg)(feat3, train=train)
@@ -168,11 +174,12 @@ class BGALayer(nn.Module):
     """Bilateral guided aggregation (reference: lib/models/bisenetv2.py:410-491)."""
 
     n_bn: int = 1
+    shared_affine: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_d: MultiX, x_s: MultiX, *, train: bool):
-        cfg = dict(n_bn=self.n_bn, dtype=self.dtype)
+        cfg = dict(n_bn=self.n_bn, shared_affine=self.shared_affine, dtype=self.dtype)
         conv1x1_l = nn.Conv(128, (1, 1), use_bias=False, dtype=self.dtype,
                             param_dtype=jnp.float32, name="left1_conv")
         conv1x1_r = nn.Conv(128, (1, 1), use_bias=False, dtype=self.dtype,
@@ -211,7 +218,7 @@ class BiSeNetV2(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        cfg = dict(n_bn=self.n_bn, dtype=self.dtype)
+        cfg = dict(n_bn=self.n_bn, shared_affine=self.shared_affine, dtype=self.dtype)
         self.detail = DetailBranch(**cfg)
         self.segment = SegmentBranch(**cfg)
         self.bga = BGALayer(**cfg)
@@ -261,3 +268,12 @@ class BiSeNetV2(nn.Module):
     def pred(self, x: jax.Array, dataset: int = 0):
         """aux_mode='pred': argmax label map (ref :636-639)."""
         return jnp.argmax(self.eval_logits(x, dataset), axis=-1)
+
+
+@MODELS.register("bisenetv2_origin")
+def bisenetv2_origin(n_classes, n_bn=1, dtype=jnp.float32, **kw):
+    """Pre-shared-affine variant: per-dataset BN with its own affine
+    (reference: lib/models/bisenetv2_origin.py:22 — ModuleList of
+    BatchNorm2d(affine=True))."""
+    return BiSeNetV2(n_classes=n_classes, n_bn=n_bn, shared_affine=False,
+                     dtype=dtype, **kw)

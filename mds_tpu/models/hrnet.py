@@ -331,3 +331,13 @@ class HRNetW48(nn.Module):
 @MODELS.register("hrnet_w48")
 def hrnet_w48(configer=None, **kw):
     return HRNetW48.from_configer(configer, **kw)
+
+
+@MODELS.register("hrnet_w48_clip")
+@MODELS.register("hrnet_w48_contrast")
+def hrnet_w48_variants(configer=None, **kw):
+    """CLIP-prototype / contrast variants share the W48 + projection +
+    prototype-classifier shape (HRNetv2.py:44, :423) — the difference is
+    where the prototypes come from (CLIP text vs learned), which is a
+    trainer concern (set_unify_prototype)."""
+    return HRNetW48.from_configer(configer, **kw)
