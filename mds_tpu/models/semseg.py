@@ -61,6 +61,7 @@ class SemsegModel(nn.Module):
     with_datasets_aux: bool = False
     dtype: Dtype = jnp.float32
     remat: bool = False
+    mulbn: bool = False
 
     @property
     def total_cats(self) -> int:
@@ -85,8 +86,14 @@ class SemsegModel(nn.Module):
         )
 
     def setup(self):
-        self.backbone = SwiftNetPyramid(dtype=self.dtype, remat=self.remat)
-        self.head_bn = SharedListBN(128, 1, dtype=self.dtype, name="logits_bn")
+        self.backbone = SwiftNetPyramid(
+            dtype=self.dtype, remat=self.remat, mulbn=self.mulbn,
+            n_datasets=len(self.datasets_cats),
+        )
+        self.head_bn = SharedListBN(
+            128, 1, dtype=self.dtype, per_dataset=self.mulbn,
+            n_datasets=len(self.datasets_cats), name="logits_bn",
+        )
         self.head_conv = nn.Conv(
             self.output_feat_dim, (1, 1), use_bias=True, dtype=self.dtype,
             param_dtype=jnp.float32, name="logits_conv",
@@ -210,3 +217,10 @@ def set_unify_prototype(variables: dict, proto: jax.Array,
 @MODELS.register("snp_rn18")
 def snp_rn18(configer=None, dtype=jnp.float32, **kw):
     return SemsegModel.from_configer(configer, dtype=dtype, **kw)
+
+
+@MODELS.register("snp_rn18_mulbn")
+def snp_rn18_mulbn(configer=None, dtype=jnp.float32, **kw):
+    """Per-dataset-BN SwiftNet variant (reference: resnet_pyramid.py:433
+    ResNet_mulbn + lib/models/semseg.py:46 SemsegModel_mulbn)."""
+    return SemsegModel.from_configer(configer, dtype=dtype, mulbn=True, **kw)

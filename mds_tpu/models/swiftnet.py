@@ -38,17 +38,26 @@ Dtype = Any
 class SharedListBN(nn.Module):
     """BatchNorm over the union of a per-dataset list, with n_slots stat sets
     (slot = pyramid level). Moments are the joint moments of all non-None
-    entries — identical to BN on the concatenated batch."""
+    entries — identical to BN on the concatenated batch.
+
+    per_dataset=True switches to the `ResNet_mulbn` semantics
+    (resnet_pyramid.py:433, MulBNBlock :229-265): each dataset keeps its own
+    stats and affine per level (the reference's extra shared-affine pairs are
+    dead code — commented out in _mulbn_function_factory :129-130)."""
 
     features: int
     n_slots: int = 1
     momentum: float = 0.1
     eps: float = 1e-5
     affine: bool = True
+    per_dataset: bool = False
+    n_datasets: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xs: MultiX, *, slot: int = 0, train: bool) -> List:
+        if self.per_dataset:
+            return self._per_dataset_call(xs, slot=slot, train=train)
         c = self.features
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((self.n_slots, c), jnp.float32)
@@ -96,6 +105,56 @@ class SharedListBN(nn.Module):
 
         return lmap(norm, xs)
 
+    def _per_dataset_call(self, xs: MultiX, *, slot: int, train: bool) -> List:
+        c, nd = self.features, self.n_datasets
+        assert len(xs) == nd, (len(xs), nd)
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.n_slots, nd, c), jnp.float32),
+        )
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.n_slots, nd, c), jnp.float32),
+        )
+        scale = bias = None
+        if self.affine:
+            scale = self.param(
+                "scale", nn.initializers.ones, (self.n_slots, nd, c), jnp.float32
+            )
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.n_slots, nd, c), jnp.float32
+            )
+        mutable = self.is_mutable_collection("batch_stats")
+        new_mean, new_var = ra_mean.value, ra_var.value
+        outs: List = []
+        for i, x in enumerate(xs):
+            if x is None:
+                outs.append(None)
+                continue
+            xf = x.astype(jnp.float32)
+            red = tuple(range(x.ndim - 1))
+            if train:
+                m = jnp.mean(xf, axis=red)
+                v = jnp.mean(jnp.square(xf - m), axis=red)
+                cnt = math.prod(x.shape[:-1])
+                new_mean = new_mean.at[slot, i].set(
+                    (1 - self.momentum) * new_mean[slot, i] + self.momentum * m
+                )
+                new_var = new_var.at[slot, i].set(
+                    (1 - self.momentum) * new_var[slot, i]
+                    + self.momentum * v * (cnt / max(cnt - 1, 1))
+                )
+            else:
+                m, v = ra_mean.value[slot, i], ra_var.value[slot, i]
+            y = (xf - m) * jax.lax.rsqrt(v + self.eps)
+            if self.affine:
+                y = y * scale[slot, i] + bias[slot, i]
+            outs.append(y.astype(self.dtype))
+        if train and mutable and not self.is_initializing():
+            ra_mean.value = new_mean
+            ra_var.value = new_var
+        return outs
+
 
 def conv_kxk(out, k=3, stride=1, name=None, dtype=jnp.float32):
     return nn.Conv(
@@ -114,13 +173,17 @@ class BasicBlock(nn.Module):
     levels: int = 3
     dtype: Dtype = jnp.float32
     remat: bool = False
+    mulbn: bool = False
+    n_datasets: int = 1
 
     @nn.compact
     def __call__(self, xs: MultiX, *, level: int, train: bool):
         conv1 = conv_kxk(self.planes, 3, self.stride, "conv1", self.dtype)
         conv2 = conv_kxk(self.planes, 3, 1, "conv2", self.dtype)
-        bn1 = SharedListBN(self.planes, self.levels, dtype=self.dtype, name="bn1")
-        bn2 = SharedListBN(self.planes, self.levels, dtype=self.dtype, name="bn2")
+        nkw = dict(per_dataset=self.mulbn, n_datasets=self.n_datasets,
+                   dtype=self.dtype)
+        bn1 = SharedListBN(self.planes, self.levels, name="bn1", **nkw)
+        bn2 = SharedListBN(self.planes, self.levels, name="bn2", **nkw)
         out = bn1(lmap(conv1, xs), slot=level, train=train)
         out = lmap(nn.relu, out)
         out = bn2(lmap(conv2, out), slot=level, train=train)
@@ -131,7 +194,7 @@ class BasicBlock(nn.Module):
             dconv = nn.Conv(self.planes, (1, 1), strides=self.stride, use_bias=False,
                             dtype=self.dtype, param_dtype=jnp.float32,
                             kernel_init=conv_init(), name="downsample_conv")
-            dbn = SharedListBN(self.planes, 1, dtype=self.dtype, name="downsample_bn")
+            dbn = SharedListBN(self.planes, 1, name="downsample_bn", **nkw)
             residual = dbn(lmap(dconv, xs), slot=0, train=train)
         skip = lmap2(lambda a, b: a + b, out, residual)
         relu = lmap(nn.relu, skip)
@@ -155,6 +218,8 @@ class UpsampleBlend(nn.Module):
 
     num_features: int
     dtype: Dtype = jnp.float32
+    mulbn: bool = False
+    n_datasets: int = 1
 
     @nn.compact
     def __call__(self, xs: MultiX, skips: MultiX, *, train: bool):
@@ -165,9 +230,9 @@ class UpsampleBlend(nn.Module):
                 break
         xs = _resize_list(xs, size, "linear")
         xs = lmap2(lambda a, b: a + b, xs, skips)
-        xs = SharedListBN(self.num_features, 1, dtype=self.dtype, name="bn")(
-            xs, slot=0, train=train
-        )
+        xs = SharedListBN(self.num_features, 1, dtype=self.dtype,
+                          per_dataset=self.mulbn, n_datasets=self.n_datasets,
+                          name="bn")(xs, slot=0, train=train)
         xs = lmap(nn.relu, xs)
         conv = conv_kxk(self.num_features, 3, 1, "conv", self.dtype)
         return lmap(conv, xs)
@@ -182,6 +247,8 @@ class SwiftNetPyramid(nn.Module):
     pyramid_levels: int = 3
     dtype: Dtype = jnp.float32
     remat: bool = False
+    mulbn: bool = False
+    n_datasets: int = 1
 
     @nn.compact
     def __call__(self, xs: MultiX, *, train: bool):
@@ -189,7 +256,9 @@ class SwiftNetPyramid(nn.Module):
         conv1 = nn.Conv(64, (7, 7), strides=2, padding=[(3, 3)] * 2, use_bias=False,
                         dtype=self.dtype, param_dtype=jnp.float32,
                         kernel_init=conv_init(), name="conv1")
-        bn1 = SharedListBN(64, lvls, dtype=self.dtype, name="bn1")
+        bn1 = SharedListBN(64, lvls, dtype=self.dtype,
+                           per_dataset=self.mulbn, n_datasets=self.n_datasets,
+                           name="bn1")
         planes = [64, 128, 256, 512]
         blocks = []
         for li, (p, n) in enumerate(zip(planes, self.layers)):
@@ -200,6 +269,7 @@ class SwiftNetPyramid(nn.Module):
                 stage.append(
                     BasicBlock(
                         p, stride, need_ds, lvls, self.dtype, self.remat,
+                        self.mulbn, self.n_datasets,
                         name=f"layer{li + 1}_{bi}",
                     )
                 )
@@ -252,7 +322,8 @@ class SwiftNetPyramid(nn.Module):
         slot_sums = slot_sums[::-1]  # deepest (1/128) first
         x = slot_sums[0]
         for i in range(2 + lvls):  # 5 blends for 3 levels, ending at 1/4
-            x = UpsampleBlend(self.num_features, self.dtype, name=f"blend{i}")(
+            x = UpsampleBlend(self.num_features, self.dtype, self.mulbn,
+                              self.n_datasets, name=f"blend{i}")(
                 x, slot_sums[i + 1], train=train
             )
         return x

@@ -125,3 +125,22 @@ def test_swiftnet_output_stride_4():
         out, xs[0],
     )
     assert feat.shape == (1, HW // 4, HW // 4, 128)
+
+
+def test_snp_mulbn_variant():
+    model = SemsegModel(
+        datasets_cats=(3, 4), output_feat_dim=16, unify_ratio=1.0, mulbn=True,
+    )
+    xs = [jnp.zeros((1, HW, HW, 3)), jnp.zeros((1, HW, HW, 3))]
+    v = jax.eval_shape(
+        lambda k: model.init({"params": k}, xs, train=True), jax.random.PRNGKey(0)
+    )
+    # per-dataset stats: (n_slots, n_datasets, C)
+    bn = v["batch_stats"]["backbone"]["layer1_0"]["bn1"]
+    assert bn["mean"].shape == (3, 2, 64)
+    out = jax.eval_shape(
+        lambda v, a, b: model.apply(v, [a, b], train=True,
+                                    mutable=["batch_stats"])[0],
+        v, xs[0], xs[1],
+    )
+    assert out["seg"][0].shape == (1, HW // 4, HW // 4, 7)

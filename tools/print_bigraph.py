@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Inspect learned bipartite graphs: which unified class each dataset class
+maps to (reference: tools/get_bipartile.py print_bipartite :123,
+tools/print_bigraph.py).
+
+  python tools/print_bigraph.py --config cfg.json --ckpt res/ckpt [--dataset 0]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def print_bipartite(graphs, class_names=None, unified_names=None):
+    for i, g in enumerate(graphs):
+        g = np.asarray(g)
+        print(f"== dataset {i} ({g.shape[0]} classes → {g.shape[1]} unified) ==")
+        for row in range(g.shape[0]):
+            cols = np.flatnonzero(g[row] > 0)
+            name = class_names[i][row] if class_names else str(row)
+            uni = ", ".join(
+                unified_names[c] if unified_names else str(int(c)) for c in cols
+            )
+            print(f"  {name:>24s} -> [{uni}]")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--ckpt", default=None)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from mds_tpu.config import Configer
+    from mds_tpu.data.labels import get_spec
+    from mds_tpu.engine.gnn_trainer import AlternatingTrainer
+
+    configer = Configer(config_file=args.config)
+    t = AlternatingTrainer(configer)
+    proto, graphs = t.optimal_matching()
+    names = []
+    for i in range(configer.n_datasets):
+        spec = configer.dataset_cfg(i).get("spec")
+        names.append(get_spec(spec).class_names if spec
+                     else [str(j) for j in range(configer.n_cats(i))])
+    print_bipartite(graphs, names)
+
+
+if __name__ == "__main__":
+    main()
