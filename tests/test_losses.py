@@ -190,3 +190,32 @@ def test_contrast_loss_and_memory_bank():
     )
     assert (np.asarray(bank2.ptr) >= np.asarray(bank.ptr)).all()
     assert np.asarray(bank2.ptr).sum() > 0
+
+
+def test_aaf_loss_prefers_consistent_predictions():
+    from mds_tpu.losses.aaf import AAFLoss, eight_corner
+
+    rng = np.random.default_rng(20)
+    # block labels: interior pairs are non-edge; prediction matching the
+    # labels should beat a noisy prediction
+    lb8 = rng.integers(0, 3, (1, 4, 4))
+    lb = np.repeat(np.repeat(lb8, 4, 1), 4, 2).astype(np.int32)
+    good = np.asarray(jax.nn.one_hot(jnp.asarray(lb), 3)) * 6 - 3
+    bad = rng.normal(0, 3, (1, 16, 16, 3)).astype(np.float32)
+    crit = AAFLoss(num_classes=3)
+    lg = float(crit(jnp.asarray(good), jnp.asarray(lb)))
+    lb_ = float(crit(jnp.asarray(bad), jnp.asarray(lb)))
+    assert np.isfinite(lg) and np.isfinite(lb_)
+    assert lg < lb_
+
+
+def test_eight_corner_shape_and_values():
+    from mds_tpu.losses.aaf import eight_corner
+
+    x = jnp.arange(16, dtype=jnp.float32).reshape(1, 4, 4, 1)
+    nb = eight_corner(x, 1)
+    assert nb.shape == (1, 4, 4, 1, 8)
+    # neighbor up-left of pixel (1,1) is pixel (0,0)
+    assert float(nb[0, 1, 1, 0, 0]) == 0.0
+    # padding at the border
+    assert float(nb[0, 0, 0, 0, 0]) == 0.0
