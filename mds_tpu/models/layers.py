@@ -164,13 +164,15 @@ class DepthwiseConv3x3(nn.Module):
                 3, 3, c_in, self.out_chan // c_in
             )
             return depthwise3x3_pallas(x.astype(self.dtype), w, self.stride)
+        # no preferred_element_type here: with bf16 operands its f32 output
+        # makes the conv VJP see mixed dtypes (bf16 activations × f32
+        # cotangents) and fail under jax.grad
         return jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             (self.stride, self.stride), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=c_in,
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype)
+        )
 
 
 class ConvBNReLU(nn.Module):

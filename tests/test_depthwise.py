@@ -52,3 +52,22 @@ def test_convbnrelu_depthwise_path_param_layout():
     assert v["params"]["conv"]["kernel"].shape == (3, 3, 1, 24)
     (y,) = m.apply(v, [x], train=False)
     assert y.shape == (1, 8, 8, 24)
+
+
+def test_depthwise_conv_grad_bf16():
+    """Regression: bf16 training through the grouped-conv path must be
+    differentiable (preferred_element_type=f32 broke the VJP)."""
+    from mds_tpu.models.layers import ConvBNReLU
+
+    m = ConvBNReLU(12, ks=3, groups=4, n_bn=1, dtype=jnp.bfloat16)
+    x = jnp.ones((1, 8, 8, 4), jnp.bfloat16)
+    v = m.init(jax.random.PRNGKey(0), [x], train=False)
+
+    def loss(params):
+        (y,) = m.apply({"params": params, "batch_stats": v["batch_stats"]},
+                       [x], train=False)
+        return jnp.sum(y.astype(jnp.float32))
+
+    g = jax.grad(loss)(v["params"])
+    leaf = jax.tree_util.tree_leaves(g)[0]
+    assert np.isfinite(np.asarray(leaf, np.float32)).all()
