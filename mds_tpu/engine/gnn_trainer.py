@@ -265,6 +265,29 @@ class AlternatingTrainer:
                                           method=gnn_model.infer_prototypes)
         )
 
+    def set_clip_prototypes(self):
+        """Init-phase prototype seeding (reference :416-431 and the
+        train_clip_* script family): each unified slot j starts as class j's
+        text embedding (identity graphs make slot↔class 1:1 at init). The
+        text half of the node features is their first `output_feat_dim`
+        entries (gen_graph_node_feature concatenates text‖image)."""
+        D = self.seg_model.output_feat_dim
+        text = np.asarray(self.node_features)[:, :D].astype(np.float32)
+        M = self.M
+        uni = np.zeros((M, D), np.float32)
+        n_copy = min(M, text.shape[0])
+        uni[:n_copy] = text[:n_copy]
+        if self.seg_model.with_datasets_aux:
+            proto = np.concatenate([text, uni], axis=0)
+        else:
+            proto = uni
+        variables = {"params": dict(self.seg_state.params)}
+        variables = set_unify_prototype(
+            variables, proto, datasets_cats=self.dataset_cats,
+            with_datasets_aux=self.seg_model.with_datasets_aux,
+        )
+        self.seg_state = self.seg_state.replace(params=variables["params"])
+
     # ------------------------------------------------------------ transitions
     def optimal_matching(self):
         """GNN→SEG switch payload: (prototypes, discrete UOT graphs)

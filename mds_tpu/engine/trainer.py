@@ -112,6 +112,31 @@ class Trainer:
             self.state, _ = self.ckpt.restore(self.state)
             self.logger.info(f"restored checkpoint at step {int(self.state.step)}")
 
+    def finetune_from(self, path: str):
+        """Load weights only (reference `--finetune_from`,
+        tools/train_amp.py:48,127-129). `.pth` files go through the torch
+        layout remap (deploy/torch_import.py); anything else is an orbax
+        checkpoint directory."""
+        if path.endswith((".pth", ".pt")):
+            import torch
+
+            from mds_tpu.deploy.torch_import import bisenetv2_from_torch
+
+            sd = torch.load(path, map_location="cpu")
+            params, stats = bisenetv2_from_torch(
+                sd, n_bn=self.configer.n_datasets
+            )
+            self.state = self.state.replace(
+                params=jax.tree_util.tree_map(jnp.asarray, params),
+                batch_stats=jax.tree_util.tree_map(jnp.asarray, stats),
+            )
+        else:
+            restored, _ = CheckpointManager(path).restore(self.state)
+            self.state = self.state.replace(
+                params=restored.params, batch_stats=restored.batch_stats
+            )
+        self.logger.info(f"finetuning from {path}")
+
     def train(self, loader=None, log_interval: int = 100):
         configer = self.configer
         if loader is None:

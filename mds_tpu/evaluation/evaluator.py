@@ -305,14 +305,18 @@ def make_logits_fn(model, variables, mean, std):
 
 
 def eval_model(configer, model, variables, loaders, mode: str = "ss"):
-    """Per-dataset mIoU table (reference: evaluate.py eval_model
-    :907-1100 drivers; modes ss/msf per README eval protocol)."""
+    """Per-dataset mIoU table (reference: evaluate.py drivers — eval_model
+    :907, eval_model_contrast :1107, eval_model_mulbn/dsg; modes ss/msf per
+    the README protocol, 'contrast' = the GNN-era label-downsample protocol
+    over bipartite-remapped logits)."""
     from mds_tpu.data.labels import get_spec
 
     if mode == "ss":
         ev = MscEvalV0(scales=(1.0,), flip=False)
     elif mode == "msf":
         ev = MscEvalV0(scales=(0.5, 0.75, 1.0, 1.25, 1.5, 1.75), flip=True)
+    elif mode == "contrast":
+        ev = MscEvalV0Contrast(scales=(0.5,), flip=False)
     else:
         raise ValueError(mode)
     mious = []

@@ -90,3 +90,19 @@ def test_init_phase_and_single_modes():
     for _ in range(2):
         m = t2.step(make_batch(rng))
     assert t2.stage == SEG and np.isfinite(m["loss"])
+
+
+def test_set_clip_prototypes():
+    cfg = tiny_configer()
+    t = AlternatingTrainer(cfg)
+    t.set_clip_prototypes()
+    D = t.seg_model.output_feat_dim
+    text = np.asarray(t.node_features)[:, :D]
+    # aux prototypes of dataset 0 = text rows of its classes
+    np.testing.assert_allclose(
+        np.asarray(t.seg_state.params["aux_prototype_0"]), text[:3], atol=1e-6
+    )
+    # unified slot j = class j text (identity-graph init)
+    np.testing.assert_allclose(
+        np.asarray(t.seg_state.params["unify_prototype"])[:7], text[:7], atol=1e-6
+    )

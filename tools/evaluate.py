@@ -15,7 +15,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
-    ap.add_argument("--mode", default="ss", choices=["ss", "msf"])
+    ap.add_argument("--mode", default="ss", choices=["ss", "msf", "contrast"])
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 

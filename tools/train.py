@@ -67,6 +67,8 @@ def main():
         from mds_tpu.engine.trainer import Trainer
 
         trainer = Trainer(configer, work_dir=args.work_dir)
+        if args.finetune_from:
+            trainer.finetune_from(args.finetune_from)
         trainer.restore_if_available()
         trainer.train()
 
