@@ -27,7 +27,14 @@ def cross_entropy_per_pixel(
     valid = labels != ignore
     safe = jnp.where(valid, labels, 0).astype(jnp.int32)
     logz = jax.nn.logsumexp(logits, axis=-1)
-    true_logit = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    # select the true-class logit with an iota-compare mask instead of
+    # take_along_axis: TPU gathers over ~10⁷ rows are pathologically slow,
+    # the masked sum fuses into one pass over the logits
+    c = logits.shape[-1]
+    onehot = (
+        safe[..., None] == jax.lax.broadcasted_iota(jnp.int32, (1,) * (logits.ndim - 1) + (c,), logits.ndim - 1)
+    )
+    true_logit = jnp.sum(jnp.where(onehot, logits, 0.0), axis=-1)
     ce = logz - true_logit
     return jnp.where(valid, ce, 0.0), valid
 
