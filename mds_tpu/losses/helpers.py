@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from mds_tpu.evaluation.evaluator import resize_bilinear_ac
-from mds_tpu.losses.ohem_ce import cross_entropy_per_pixel
+from mds_tpu.losses.ohem_ce import cross_entropy_per_pixel, select_class
 
 
 def recall_cross_entropy(
@@ -76,7 +76,7 @@ def nll_plus_loss(
         lb = lb.astype(jnp.int32)
         valid = lb != ignore
         safe = jnp.where(valid, lb, 0)
-        picked = jnp.take_along_axis(p, safe[..., None], axis=-1)[..., 0]
+        picked = select_class(p, safe)
         val = jnp.sum(jnp.where(valid, picked, 0.0)) / jnp.maximum(
             jnp.sum(valid.astype(jnp.float32)), 1.0
         )
@@ -107,7 +107,7 @@ def adj_nll_plus_loss(
     lb = lb.astype(jnp.int32)
     valid = lb != ignore
     safe = jnp.where(valid, lb, 0)
-    loss = jnp.take_along_axis(nll, safe[..., None], axis=-1)[..., 0]
+    loss = select_class(nll, safe)
     return jnp.where(valid, loss, 0.0), valid
 
 

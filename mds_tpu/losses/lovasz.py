@@ -75,8 +75,10 @@ def boundary_aware_focal_loss(
     target = target.astype(jnp.int32)
     valid = target != ignore
     safe = jnp.where(valid, target, 0)
+    from mds_tpu.losses.ohem_ce import select_class
+
     logp = jax.nn.log_softmax(logits, axis=-1)
-    logpt = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    logpt = select_class(logp, safe)
     pt = jax.lax.stop_gradient(jnp.exp(logpt))
     alphas = alphas.astype(jnp.float32)
     n = jnp.maximum(jnp.sum((alphas > 0).astype(jnp.float32)), 1.0)

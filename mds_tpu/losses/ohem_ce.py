@@ -19,6 +19,17 @@ import jax.numpy as jnp
 from mds_tpu.ops.ohem import ohem_mean, ohem_mean_exact
 
 
+def select_class(values: jax.Array, idx: jax.Array) -> jax.Array:
+    """values (..., C), idx (...) int → values[..., idx] via an iota-compare
+    masked sum (take_along_axis gathers are pathologically slow on TPU)."""
+    c = values.shape[-1]
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (1,) * (values.ndim - 1) + (c,), values.ndim - 1
+    )
+    mask = idx[..., None].astype(jnp.int32) == iota
+    return jnp.sum(jnp.where(mask, values, 0.0), axis=-1)
+
+
 def cross_entropy_per_pixel(
     logits: jax.Array, labels: jax.Array, ignore: int = 255
 ):
@@ -27,14 +38,7 @@ def cross_entropy_per_pixel(
     valid = labels != ignore
     safe = jnp.where(valid, labels, 0).astype(jnp.int32)
     logz = jax.nn.logsumexp(logits, axis=-1)
-    # select the true-class logit with an iota-compare mask instead of
-    # take_along_axis: TPU gathers over ~10⁷ rows are pathologically slow,
-    # the masked sum fuses into one pass over the logits
-    c = logits.shape[-1]
-    onehot = (
-        safe[..., None] == jax.lax.broadcasted_iota(jnp.int32, (1,) * (logits.ndim - 1) + (c,), logits.ndim - 1)
-    )
-    true_logit = jnp.sum(jnp.where(onehot, logits, 0.0), axis=-1)
+    true_logit = select_class(logits, safe)
     ce = logz - true_logit
     return jnp.where(valid, ce, 0.0), valid
 
