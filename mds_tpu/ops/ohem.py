@@ -80,9 +80,12 @@ def ohem_mean(
     valid = valid.reshape(-1)
     n_valid = jnp.sum(valid.astype(jnp.int32))
     n_min = n_valid // n_min_ratio
-    t = ohem_threshold_hist(losses, valid, n_min, thresh, n_bins, max_loss)
-    # keep = loss > fixed thresh, or loss >= histogram thresh (quantile fill)
-    keep = valid & ((losses > thresh) | (losses >= t))
+    # the keep-threshold is non-differentiable selection state (torch's topk
+    # indices likewise); without stop_gradient, autodiff unrolls the bisection
+    # scan and saves ~26 full-size residuals — catastrophic HBM traffic
+    sg_losses = jax.lax.stop_gradient(losses)
+    t = ohem_threshold_hist(sg_losses, valid, n_min, thresh, n_bins, max_loss)
+    keep = valid & ((sg_losses > thresh) | (sg_losses >= t))
     keep_f = keep.astype(jnp.float32)
     total = jnp.sum(losses * keep_f)
     count = jnp.maximum(jnp.sum(keep_f), 1.0)
@@ -98,7 +101,7 @@ def ohem_mean_exact(
     n = losses.shape[0]
     n_valid = jnp.sum(valid.astype(jnp.int32))
     n_min = n_valid // n_min_ratio
-    masked = jnp.where(valid, losses, -jnp.inf)
+    masked = jax.lax.stop_gradient(jnp.where(valid, losses, -jnp.inf))
     sorted_desc = jnp.sort(masked)[::-1]
     # value of the n_min-th largest loss (1-indexed); n_min may be 0
     kth = sorted_desc[jnp.clip(n_min - 1, 0, n - 1)]
