@@ -44,22 +44,25 @@ def main():
         np.random.default_rng(0).integers(0, 256, (1, H, W, 3)), jnp.uint8
     )
 
-    # honest device-side timing: chain iterations inside one jit so async
-    # dispatch can't hide device time (the per-call pattern under-reports
-    # through the remote-dispatch tunnel)
-    n_iters = 30
+    # honest device-side timing: each iteration's input depends on the
+    # previous output, so async dispatch can't overlap steps, and the final
+    # block_until_ready covers the whole chain. (A lax.fori_loop variant hits
+    # an XLA scheduling pathology on this backend — 2-100× slower than the
+    # same math dispatched sequentially.)
+    n_iters = 40
 
     @jax.jit
-    def pred_loop(v, im):
-        def body(i, carry):
-            p = pred(v, (im + carry))
-            return (p.sum() % 2).astype(jnp.uint8)
+    def chained_pred(v, im, carry):
+        p = pred(v, im + carry)
+        return p, (p[..., None].astype(jnp.uint8) % 2)
 
-        return jax.lax.fori_loop(0, n_iters, body, jnp.uint8(0))
-
-    pred_loop(variables, im).block_until_ready()  # compile + warmup
+    carry = jnp.zeros((1, H, W, 1), jnp.uint8)
+    out, carry = chained_pred(variables, im, carry)  # compile + warmup
+    jax.block_until_ready((out, carry))
     t0 = time.perf_counter()
-    float(pred_loop(variables, im))
+    for _ in range(n_iters):
+        out, carry = chained_pred(variables, im, carry)
+    jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     fps = n_iters / dt
 
