@@ -44,25 +44,24 @@ def main():
         np.random.default_rng(0).integers(0, 256, (1, H, W, 3)), jnp.uint8
     )
 
-    # honest device-side timing: each iteration's input depends on the
-    # previous output, so async dispatch can't overlap steps, and the final
-    # block_until_ready covers the whole chain. (A lax.fori_loop variant hits
-    # an XLA scheduling pathology on this backend — 2-100× slower than the
-    # same math dispatched sequentially.)
-    n_iters = 40
+    # Honest device-side timing for this remote-tunnel backend: N iterations
+    # chained on-device inside one dispatch (each step's input depends on the
+    # previous prediction), and the result is FETCHED to host (float()) —
+    # block_until_ready alone does not actually wait on this backend, and
+    # repeated identical dispatches can be served from a content-hash cache.
+    n_iters = 30
 
     @jax.jit
-    def chained_pred(v, im, carry):
-        p = pred(v, im + carry)
-        return p, (p[..., None].astype(jnp.uint8) % 2)
+    def pred_loop(v, im, seed):
+        def body(i, carry):
+            p = pred(v, im + carry)
+            return (p.sum() % 2).astype(jnp.uint8)
 
-    carry = jnp.zeros((1, H, W, 1), jnp.uint8)
-    out, carry = chained_pred(variables, im, carry)  # compile + warmup
-    jax.block_until_ready((out, carry))
+        return jax.lax.fori_loop(0, n_iters, body, seed)
+
+    float(pred_loop(variables, im, jnp.uint8(0)))  # compile + warmup
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out, carry = chained_pred(variables, im, carry)
-    jax.block_until_ready(out)
+    float(pred_loop(variables, im, jnp.uint8(1)))
     dt = time.perf_counter() - t0
     fps = n_iters / dt
 
