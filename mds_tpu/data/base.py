@@ -157,3 +157,9 @@ class SyntheticDataset:
         return im_lb
 
     __getitem__ = read
+
+# MSeg relabeled variants (reference *_mseg readers; e.g.
+# lib/ade2016_data.py:370-385, lib/coco_data.py:341-354, lib/Mapi.py:216)
+MapiMseg = DATASETS.register("Mapiv1_mseg")(_make_reader("mapillary_mseg"))
+Ade2016Mseg = DATASETS.register("ade2016_mseg")(_make_reader("ade20k_mseg"))
+CocoMseg = DATASETS.register("Coco_data_mseg")(_make_reader("cocostuff_mseg"))

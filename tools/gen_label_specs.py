@@ -38,6 +38,11 @@ SPECS = {
     "cocostuff": ("lib/coco_data.py", "labels_info", 133, CITY_MEAN, CITY_STD),
     "wilddash2": ("lib/WD2.py", "labels_info", 25, CITY_MEAN, CITY_STD),
     "scannet": ("lib/scannet.py", "labels_info", 20, CITY_MEAN, CITY_STD),
+    # MSeg relabeled taxonomies (the *_mseg reader variants; tsv remaps at
+    # the reference root, embedded as mseg_labels_info lists in the readers)
+    "mapillary_mseg": ("lib/Mapi.py", "mseg_labels_info", 43, CITY_MEAN, CITY_STD),
+    "ade20k_mseg": ("lib/ade2016_data.py", "Mseg_label_info", 117, CITY_MEAN, CITY_STD),
+    "cocostuff_mseg": ("lib/coco_data.py", "mseg_labels_info", 122, CITY_MEAN, CITY_STD),
 }
 
 
