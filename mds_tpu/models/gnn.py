@@ -73,6 +73,32 @@ class GSAGELayer(nn.Module):
         return jnp.tanh(jnp.concatenate([x, agg], axis=-1) @ w + b)
 
 
+class GATLayer(nn.Module):
+    """Dense graph attention layer (reference: GAT wrapper
+    graph_attention_network.py:41-66 over timm-style GraphAttentionLayer in
+    lib/module/module_helper.py): e_ij = LeakyReLU(aᵀ[Wh_i ∥ Wh_j]),
+    α = softmax(e masked by adjacency), h' = σ(α (Wh))."""
+
+    features: int
+    alpha: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, adj):
+        w = self.param("weight", nn.initializers.xavier_uniform(),
+                       (x.shape[-1], self.features))
+        a = self.param("attn", nn.initializers.xavier_uniform(),
+                       (2 * self.features, 1))
+        h = x @ w  # (N, F)
+        n = h.shape[0]
+        e = jnp.concatenate(
+            [jnp.repeat(h, n, axis=0), jnp.tile(h, (n, 1))], axis=1
+        ) @ a
+        e = nn.leaky_relu(e.reshape(n, n), negative_slope=self.alpha)
+        e = jnp.where(adj > 0, e, -1e9)
+        att = jax.nn.softmax(e, axis=-1)
+        return jnp.tanh(att @ h)
+
+
 class Discriminator(nn.Module):
     """Linear-LeakyReLU-Dropout-Linear-Sigmoid (module_helper.py:828-848)."""
 
@@ -157,7 +183,9 @@ class LearnableTopologyBGNN(nn.Module):
         self.linear_before = nn.Dense(self.nfeat_out)
         self.linear_adj = nn.Dense(self.nfeat_adj)
         self.linear1 = nn.Dense(self.output_feat_dim)
-        layer_cls = GSAGELayer if self.gnn_type == "GSAGE" else GCNLayer
+        layer_cls = {"GSAGE": GSAGELayer, "GCN": GCNLayer, "GAT": GATLayer}[
+            self.gnn_type
+        ]
         self.gcn_layers = [layer_cls(self.nfeat_out) for _ in range(4)]
         self.unify_node_features = self.param(
             "unify_node_features", nn.initializers.truncated_normal(0.02),

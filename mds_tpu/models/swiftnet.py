@@ -177,7 +177,7 @@ class BasicBlock(nn.Module):
     n_datasets: int = 1
 
     @nn.compact
-    def __call__(self, xs: MultiX, *, level: int, train: bool):
+    def __call__(self, xs: MultiX, level: int, train: bool):
         conv1 = conv_kxk(self.planes, 3, self.stride, "conv1", self.dtype)
         conv2 = conv_kxk(self.planes, 3, 1, "conv2", self.dtype)
         nkw = dict(per_dataset=self.mulbn, n_datasets=self.n_datasets,
@@ -261,13 +261,20 @@ class SwiftNetPyramid(nn.Module):
                            name="bn1")
         planes = [64, 128, 256, 512]
         blocks = []
+        block_cls = BasicBlock
+        if self.remat:
+            # gradient checkpointing per residual block — the reference's
+            # `efficient` torch.utils.checkpoint option
+            # (resnet_pyramid.py:140 do_efficient_fwd)
+            # xs is a pytree of arrays (arg 1); level/train must be static
+            block_cls = nn.remat(BasicBlock, static_argnums=(2, 3))
         for li, (p, n) in enumerate(zip(planes, self.layers)):
             stage = []
             for bi in range(n):
                 stride = 2 if (bi == 0 and li > 0) else 1
                 need_ds = stride != 1 or (li > 0 and bi == 0)
                 stage.append(
-                    BasicBlock(
+                    block_cls(
                         p, stride, need_ds, lvls, self.dtype, self.remat,
                         self.mulbn, self.n_datasets,
                         name=f"layer{li + 1}_{bi}",
@@ -306,7 +313,7 @@ class SwiftNetPyramid(nn.Module):
             for stage in blocks:
                 skip = None
                 for blk in stage:
-                    x, skip = blk(x, level=idx, train=train)
+                    x, skip = blk(x, idx, train)
                 feats.append(skip)
             # bottleneck projections, deepest first (bneck0 ↔ layer4)
             skip_feats = [

@@ -234,3 +234,25 @@ def test_similarity_dsb_entropy():
     lo = float(similarity_dsb(p, 0.07))
     hi = float(similarity_dsb(jnp.ones((4, 4)), 0.07))
     assert lo < hi
+
+
+def test_gat_layer_and_gnn_type():
+    from mds_tpu.models.gnn import GATLayer
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(0, 1, (7, 8)), jnp.float32)
+    adj = jnp.asarray((rng.random((7, 7)) > 0.5).astype(np.float32))
+    m = GATLayer(8)
+    v = m.init(jax.random.PRNGKey(0), x, adj)
+    y = m.apply(v, x, adj)
+    assert y.shape == (7, 8)
+    assert np.isfinite(np.asarray(y)).all()
+
+    gnn = LearnableTopologyBGNN(
+        dataset_cats=CATS, nfeat=NFEAT, nfeat_out=8, nfeat_adj=8,
+        output_feat_dim=8, gnn_type="GAT", adj_mode="direct",
+    )
+    xg = jnp.zeros((sum(CATS), NFEAT))
+    vg = gnn.init({"params": jax.random.PRNGKey(0)}, xg, train=False)
+    out = gnn.apply(vg, xg, train=False)
+    assert out["unify_prototype"].shape == (sum(CATS), 8)

@@ -144,3 +144,20 @@ def test_snp_mulbn_variant():
         v, xs[0], xs[1],
     )
     assert out["seg"][0].shape == (1, HW // 4, HW // 4, 7)
+
+
+def test_swiftnet_remat_grad():
+    """remat (the reference's `efficient` checkpointing) must be trainable."""
+    model = SwiftNetPyramid(remat=True)
+    x = jnp.ones((1, HW, HW, 3), jnp.float32)
+    v = jax.jit(lambda k: model.init(k, [x], train=False))(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def loss(params):
+        f = model.apply({"params": params, "batch_stats": v["batch_stats"]},
+                        [x], train=False)[0]
+        return jnp.sum(f.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    leaf = jax.tree_util.tree_leaves(g)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
