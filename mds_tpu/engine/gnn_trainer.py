@@ -336,6 +336,60 @@ class AlternatingTrainer:
         self.stage = GNN
         self.alter_iter = 0
 
+    # -------------------------------------------------------------- persistence
+    def save(self, directory: str, step: Optional[int] = None):
+        """Checkpoint both model states + the host-side stage machine
+        (reference saves {model, optimizer, scheduler} dicts every 10k,
+        tools/train_ltbgnn_all_datasets_snp.py:530-546)."""
+        from mds_tpu.engine.checkpoints import CheckpointManager
+
+        mngr = CheckpointManager(directory, save_interval=1)
+        extras = {
+            "gnn_state": self.gnn_state,
+            "buffers": self.seg_buffers,
+            "betas": {str(i): b for i, b in enumerate(self.betas)},
+            "uot_bi": (
+                {str(i): g for i, g in enumerate(self.uot_bi)}
+                if self.uot_bi is not None else None
+            ),
+            "meta": {
+                "stage": 0 if self.stage == SEG else 1,
+                "alter_iter": self.alter_iter,
+                "init_iters": self.init_iters,
+            },
+        }
+        step = step if step is not None else int(self.seg_state.step)
+        mngr.maybe_save(self.seg_state, extras=extras, force=True)
+        mngr.wait()
+
+    def restore(self, directory: str):
+        from mds_tpu.engine.checkpoints import CheckpointManager
+
+        mngr = CheckpointManager(directory, save_interval=1)
+        abstract_extras = {
+            "gnn_state": self.gnn_state,
+            "buffers": self.seg_buffers,
+            "betas": {str(i): b for i, b in enumerate(self.betas)},
+            "uot_bi": (
+                {str(i): np.zeros_like(self.seg_buffers[f"bi_graph_{i}"])
+                 for i in range(self.n)}
+            ),
+            "meta": {"stage": 0, "alter_iter": 0, "init_iters": 0},
+        }
+        state, extras = mngr.restore(self.seg_state, abstract_extras)
+        self.seg_state = state
+        self.gnn_state = extras["gnn_state"]
+        self.seg_buffers = extras["buffers"]
+        self.betas = [np.asarray(extras["betas"][str(i)]) for i in range(self.n)]
+        if extras.get("uot_bi") is not None:
+            self.uot_bi = [
+                np.asarray(extras["uot_bi"][str(i)]) for i in range(self.n)
+            ]
+        meta = extras["meta"]
+        self.stage = SEG if int(meta["stage"]) == 0 else GNN
+        self.alter_iter = int(meta["alter_iter"])
+        self.init_iters = int(meta["init_iters"])
+
     # ------------------------------------------------------------------ loop
     def step(self, batch, rng=None) -> Dict[str, float]:
         """One alternating-training step on a per-dataset batch dict

@@ -1,5 +1,6 @@
 """End-to-end alternating SEG/GNN trainer test on a tiny synthetic config."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -106,3 +107,28 @@ def test_set_clip_prototypes():
     np.testing.assert_allclose(
         np.asarray(t.seg_state.params["unify_prototype"])[:7], text[:7], atol=1e-6
     )
+
+
+@pytest.mark.slow
+def test_alternating_trainer_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_configer()
+    t = AlternatingTrainer(cfg)
+    rng = np.random.default_rng(2)
+    for _ in range(4):  # 3 gnn + switch + 1 seg → uot graphs exist
+        t.step(make_batch(rng))
+    t.save(str(tmp_path / "ck"))
+
+    t2 = AlternatingTrainer(cfg)
+    t2.restore(str(tmp_path / "ck"))
+    assert t2.stage == t.stage and t2.alter_iter == t.alter_iter
+    np.testing.assert_allclose(
+        np.asarray(t2.seg_buffers["bi_graph_0"]),
+        np.asarray(t.seg_buffers["bi_graph_0"]),
+    )
+    np.testing.assert_allclose(t2.betas[0], t.betas[0])
+    a = jax.tree_util.tree_leaves(t.gnn_state.params)[0]
+    b = jax.tree_util.tree_leaves(t2.gnn_state.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # resumed trainer can keep stepping
+    m = t2.step(make_batch(rng))
+    assert np.isfinite(m["loss"])
