@@ -139,6 +139,8 @@ class AlternatingTrainer:
         stds = [jnp.asarray(s) for s in self.stds]
         n = self.n
 
+        is_adv_mode = gnn_model.mse_or_adv == "adv"
+
         def gnn_loss_fn(gnn_params, seg_state, buffers, node_feats, ims, lbs, rng, max_rate):
             xs = normalize_images(ims, means, stds, dtype=compute_dtype)
             feats = seg_model.apply(
@@ -168,7 +170,14 @@ class AlternatingTrainer:
                 "adv_pairs": out["adv_pairs"],
                 "adj_block": out["adj_block"],
             }
+            if is_adv_mode:
+                preds["adv_out"] = out["adv_out"]
             loss, metrics = crit(preds, lbs, is_adv=True, max_rate=max_rate)
+            if is_adv_mode:
+                # reference adds the discriminator loss to the same backward
+                # and steps gnn_optim + gnn_optimD on it
+                # (tools/train_ltbgnn_all_datasets_snp.py:948-965)
+                loss = loss + metrics["adv_loss"]
             return loss, metrics
 
         def gnn_step(gnn_state, seg_state, buffers, node_feats, ims, lbs, rng, max_rate):

@@ -264,13 +264,18 @@ class LearnableTopologyBGNN(nn.Module):
         proto = feat_out if self.with_datasets_aux else feat_out[T:]
         bi_graphs = self.sep_bipartite_graphs(block)
         ret_feats = [f[T:] for f in feats] + [feat_out[T:]]
-        return {
+        out = {
             "unify_prototype": proto,
             "bi_graphs": bi_graphs,
             "adv_pairs": adv_pairs,
             "adj_block": block,
             "ret_feats": ret_feats,
         }
+        if self.mse_or_adv == "adv":
+            # the reference runs the discriminators inside forward
+            # (graph_attention_network.py:976-1022 out_real/out_fake/g_out)
+            out["adv_out"] = self.discriminate(adv_pairs, train=train)
+        return out
 
     def sep_bipartite_graphs(self, block: jax.Array) -> List[jax.Array]:
         """Per-dataset softmax graphs (n_cats_i, M); the max/discrete variants

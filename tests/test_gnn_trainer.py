@@ -132,3 +132,13 @@ def test_alternating_trainer_checkpoint_roundtrip(tmp_path):
     # resumed trainer can keep stepping
     m = t2.step(make_batch(rng))
     assert np.isfinite(m["loss"])
+
+
+@pytest.mark.slow
+def test_adv_mode_trainer_step():
+    cfg = tiny_configer()
+    cfg.update(["GNN", "mse_or_adv"], "adv")
+    t = AlternatingTrainer(cfg)
+    rng = np.random.default_rng(3)
+    m = t.step(make_batch(rng))
+    assert np.isfinite(m["loss"]) and "adv_loss" in m
