@@ -1,0 +1,61 @@
+"""Shipped configs must parse and construct their models."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mds_tpu.config import Configer
+from mds_tpu.engine.trainer import build_model, dataset_stats
+
+CFG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+@pytest.mark.parametrize("name", [
+    "bisenetv2_city.json",
+    "bisenetv1_city.json",
+    "bisenetv2_city_cam_a2d2.json",
+    "ltbgnn_7_datasets_snp.json",
+    "test_synthetic.json",
+])
+def test_config_builds_model(name):
+    configer = Configer(config_file=os.path.join(CFG_DIR, name))
+    model = build_model(configer, dtype=jnp.float32)
+    assert model is not None
+    means, stds = dataset_stats(configer)
+    assert len(means) == configer.n_datasets
+
+
+def test_ltbgnn_config_matches_reference_recipe():
+    c = Configer(config_file=os.path.join(CFG_DIR, "ltbgnn_7_datasets_snp.json"))
+    # BASELINE.md: AdamW lr 1e-3, wd 1e-5, crop 768, alternating 200k/60k, 960k
+    assert c.get("lr", "optim") == "adamw"
+    assert c.get("lr", "max_iter") == 960000
+    assert c.get("train", "seg_iters") == 200000
+    assert c.get("train", "gnn_iters") == 60000
+    assert c.get("train", "cropsize") == [768, 768]
+    assert c.n_datasets == 7
+    assert c.get("GNN", "GNN_type") == "GSAGE"
+
+
+def test_bisenetv2_city_matches_reference_recipe():
+    c = Configer(config_file=os.path.join(CFG_DIR, "bisenetv2_city.json"))
+    # configs/bisenetv2_city.py: 130k iters, lr 5e-3, crop 512x1024
+    assert c.get("lr", "max_iter") == 130000
+    assert c.get("lr", "lr_start") == 5e-3
+    assert c.get("train", "cropsize") == [512, 1024]
+    assert c.n_cats(0) == 19
+
+
+def test_gnn_model_from_7ds_config():
+    from mds_tpu.models.gnn import LearnableTopologyBGNN
+    from mds_tpu.models.semseg import SemsegModel
+
+    c = Configer(config_file=os.path.join(CFG_DIR, "ltbgnn_7_datasets_snp.json"))
+    seg = SemsegModel.from_configer(c)
+    gnn = LearnableTopologyBGNN.from_configer(c)
+    total = sum(c.n_cats(i) for i in range(7))
+    assert seg.total_cats == total
+    assert seg.max_num_unify_class == int(0.8 * total)
+    assert gnn.adj_mode == "direct" and gnn.gnn_type == "GSAGE"
