@@ -60,10 +60,13 @@ def main():
         return jax.lax.fori_loop(0, n_iters, body, seed)
 
     float(pred_loop(variables, im, jnp.uint8(0)))  # compile + warmup
-    t0 = time.perf_counter()
-    float(pred_loop(variables, im, jnp.uint8(1)))
-    dt = time.perf_counter() - t0
-    fps = n_iters / dt
+    # best-of-3: the remote tunnel adds run-to-run jitter
+    best = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        float(pred_loop(variables, im, jnp.uint8(rep + 1)))
+        best = min(best, time.perf_counter() - t0)
+    fps = n_iters / best
 
     print(
         json.dumps(
