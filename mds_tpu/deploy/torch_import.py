@@ -175,6 +175,163 @@ def bisenetv2_from_torch(
     return params, stats
 
 
+def _stack_bn(state: Mapping, prefix: str, n: int):
+    """ModuleList of BatchNorm2d → our (n, C) stacked arrays.
+    Returns (scale, bias, mean, var)."""
+    return (
+        np.stack([_np(state[f"{prefix}.{i}.weight"]) for i in range(n)]),
+        np.stack([_np(state[f"{prefix}.{i}.bias"]) for i in range(n)]),
+        np.stack([_np(state[f"{prefix}.{i}.running_mean"]) for i in range(n)]),
+        np.stack([_np(state[f"{prefix}.{i}.running_var"]) for i in range(n)]),
+    )
+
+
+def swiftnet_backbone_from_torch(
+    state: Mapping, prefix: str = "backbone."
+) -> Tuple[Dict, Dict]:
+    """Reference SwiftNet-pyramid ResNet (lib/models/resnet_pyramid.py:267-423)
+    state_dict → (params, batch_stats) subtrees for SwiftNetPyramid.
+
+    torch layout: conv1, bn1.{lvl} ModuleList, layer{1..4}.{bi} BasicBlocks
+    (conv1/bn1.{lvl}/conv2/bn2.{lvl}/downsample.{0,1}), upsample_bottlenecks.{j}
+    (j=0 ↔ layer4), upsample_blends.{i}.blend_conv.{norm,conv}."""
+    p: Dict = {}
+    s: Dict = {}
+    lvls = 0
+    while f"{prefix}bn1.{lvls}.weight" in state:
+        lvls += 1
+    assert lvls > 0, "not a SwiftNet-pyramid state dict"
+
+    _set(p, "conv1/kernel", _conv_w(state[f"{prefix}conv1.weight"]))
+    sc, bi, mn, vr = _stack_bn(state, f"{prefix}bn1", lvls)
+    _set(p, "bn1/scale", sc); _set(p, "bn1/bias", bi)
+    _set(s, "bn1/mean", mn); _set(s, "bn1/var", vr)
+
+    for li in range(1, 5):
+        bi_ = 0
+        while f"{prefix}layer{li}.{bi_}.conv1.weight" in state:
+            t = f"{prefix}layer{li}.{bi_}"
+            o = f"layer{li}_{bi_}"
+            _set(p, f"{o}/conv1/kernel", _conv_w(state[f"{t}.conv1.weight"]))
+            _set(p, f"{o}/conv2/kernel", _conv_w(state[f"{t}.conv2.weight"]))
+            for bn in ("bn1", "bn2"):
+                sc, b, mn, vr = _stack_bn(state, f"{t}.{bn}", lvls)
+                _set(p, f"{o}/{bn}/scale", sc); _set(p, f"{o}/{bn}/bias", b)
+                _set(s, f"{o}/{bn}/mean", mn); _set(s, f"{o}/{bn}/var", vr)
+            if f"{t}.downsample.0.weight" in state:
+                _set(p, f"{o}/downsample_conv/kernel",
+                     _conv_w(state[f"{t}.downsample.0.weight"]))
+                _set(p, f"{o}/downsample_bn/scale",
+                     _np(state[f"{t}.downsample.1.weight"])[None])
+                _set(p, f"{o}/downsample_bn/bias",
+                     _np(state[f"{t}.downsample.1.bias"])[None])
+                _set(s, f"{o}/downsample_bn/mean",
+                     _np(state[f"{t}.downsample.1.running_mean"])[None])
+                _set(s, f"{o}/downsample_bn/var",
+                     _np(state[f"{t}.downsample.1.running_var"])[None])
+            bi_ += 1
+
+    for j in range(4):
+        _set(p, f"bneck{j}/kernel",
+             _conv_w(state[f"{prefix}upsample_bottlenecks.{j}.weight"]))
+    i = 0
+    while f"{prefix}upsample_blends.{i}.blend_conv.conv.weight" in state:
+        t = f"{prefix}upsample_blends.{i}.blend_conv"
+        _set(p, f"blend{i}/conv/kernel", _conv_w(state[f"{t}.conv.weight"]))
+        _set(p, f"blend{i}/bn/scale", _np(state[f"{t}.norm.weight"])[None])
+        _set(p, f"blend{i}/bn/bias", _np(state[f"{t}.norm.bias"])[None])
+        _set(s, f"blend{i}/bn/mean", _np(state[f"{t}.norm.running_mean"])[None])
+        _set(s, f"blend{i}/bn/var", _np(state[f"{t}.norm.running_var"])[None])
+        i += 1
+    return p, s
+
+
+def semseg_from_torch(state: Mapping) -> Tuple[Dict, Dict, Dict]:
+    """Reference SemsegModel / snp_rn18 (lib/models/semseg.py:262-494)
+    state_dict → (params, batch_stats, buffers) for mds_tpu SemsegModel."""
+    bp, bs = swiftnet_backbone_from_torch(state, "backbone.")
+    params: Dict = {"backbone": bp}
+    stats: Dict = {"backbone": bs}
+    buffers: Dict = {}
+
+    _set(params, "logits_bn/scale", _np(state["logits.norm.weight"])[None])
+    _set(params, "logits_bn/bias", _np(state["logits.norm.bias"])[None])
+    _set(stats, "logits_bn/mean", _np(state["logits.norm.running_mean"])[None])
+    _set(stats, "logits_bn/var", _np(state["logits.norm.running_var"])[None])
+    _set(params, "logits_conv/kernel", _conv_w(state["logits.conv.weight"]))
+    if "logits.conv.bias" in state:
+        _set(params, "logits_conv/bias", _np(state["logits.conv.bias"]))
+
+    params["unify_prototype"] = _np(state["unify_prototype"])
+    i = 0
+    while f"bipartite_graphs.{i}" in state:
+        buffers[f"bi_graph_{i}"] = _np(state[f"bipartite_graphs.{i}"])
+        i += 1
+    i = 0
+    while f"aux_prototype.{i}" in state:
+        params[f"aux_prototype_{i}"] = _np(state[f"aux_prototype.{i}"])
+        i += 1
+    return params, stats, buffers
+
+
+def resnet18_torchvision_to_swiftnet(
+    state: Mapping, pyramid_levels: int = 3
+) -> Tuple[Dict, Dict]:
+    """torchvision-layout ResNet18 state_dict → SwiftNetPyramid trunk
+    (params, batch_stats) subtrees (decoder/bottlenecks stay random-init —
+    the reference's random_init list, resnet_pyramid.py:349).
+
+    torchvision BNs are single; we broadcast affine+stats into every pyramid
+    level slot (the reference's own strict=False load leaves its per-level
+    BNs at init — ours is strictly closer to the ImageNet parent)."""
+    p: Dict = {}
+    s: Dict = {}
+
+    def bn_bcast(ours: str, theirs: str, n: int):
+        _set(p, f"{ours}/scale", np.tile(_np(state[f"{theirs}.weight"]), (n, 1)))
+        _set(p, f"{ours}/bias", np.tile(_np(state[f"{theirs}.bias"]), (n, 1)))
+        _set(s, f"{ours}/mean", np.tile(_np(state[f"{theirs}.running_mean"]), (n, 1)))
+        _set(s, f"{ours}/var", np.tile(_np(state[f"{theirs}.running_var"]), (n, 1)))
+
+    _set(p, "conv1/kernel", _conv_w(state["conv1.weight"]))
+    bn_bcast("bn1", "bn1", pyramid_levels)
+    for li in range(1, 5):
+        bi = 0
+        while f"layer{li}.{bi}.conv1.weight" in state:
+            t, o = f"layer{li}.{bi}", f"layer{li}_{bi}"
+            _set(p, f"{o}/conv1/kernel", _conv_w(state[f"{t}.conv1.weight"]))
+            _set(p, f"{o}/conv2/kernel", _conv_w(state[f"{t}.conv2.weight"]))
+            bn_bcast(f"{o}/bn1", f"{t}.bn1", pyramid_levels)
+            bn_bcast(f"{o}/bn2", f"{t}.bn2", pyramid_levels)
+            if f"{t}.downsample.0.weight" in state:
+                _set(p, f"{o}/downsample_conv/kernel",
+                     _conv_w(state[f"{t}.downsample.0.weight"]))
+                bn_bcast(f"{o}/downsample_bn", f"{t}.downsample.1", 1)
+            bi += 1
+    return p, s
+
+
+def merge_subtree(variables: Dict, subtree: Dict, *path: str) -> Dict:
+    """Return a copy of a variables collection with `subtree` grafted onto
+    collection[path] (replacing only the keys present in subtree)."""
+    import copy
+
+    out = copy.deepcopy(variables)
+
+    def rec(dst: Dict, src: Dict):
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                rec(dst[k], v)
+            else:
+                dst[k] = v
+
+    node = out
+    for k in path:
+        node = node[k]
+    rec(node, subtree)
+    return out
+
+
 def bisenetv2_to_torch(params: Dict, stats: Dict) -> Dict[str, np.ndarray]:
     """Inverse mapping (for round-trip tests / exporting back to torch)."""
     out: Dict[str, np.ndarray] = {}

@@ -130,22 +130,52 @@ def conv_init() -> Callable:
     return nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
-# Global switch for the Pallas depthwise kernel. The Pallas path is exact
-# (XLA's grouped conv accumulates in bf16, ~2e-2 drift) but forward-only —
-# enable it for inference/deploy graphs via `use_pallas_depthwise(True)`.
-_PALLAS_DEPTHWISE = False
+# Depthwise-conv path selection, measured on the real v5e chip (chained-loop
+# methodology, 2026-08-16): XLA's grouped-conv lowering matches or beats both
+# the shift-add decomposition (ops/depthwise.py) and the Pallas row-tile
+# kernel at every BiSeNetV2 deploy shape — e.g. (256,512,16,m6,s2):
+# XLA 0.73 ms vs shift-add 1.30 ms. The alternative kernels are kept for
+# backends where grouped conv lowers badly; select with set_depthwise_impl.
+_DEPTHWISE_IMPL = "xla"  # "xla" | "shift" | "pallas"
+
+
+def set_depthwise_impl(impl: str) -> None:
+    assert impl in ("xla", "shift", "pallas"), impl
+    global _DEPTHWISE_IMPL
+    _DEPTHWISE_IMPL = impl
 
 
 def use_pallas_depthwise(enable: bool = True) -> None:
-    global _PALLAS_DEPTHWISE
-    _PALLAS_DEPTHWISE = enable
+    set_depthwise_impl("pallas" if enable else "xla")
+
+
+# Stem-conv implementation for stride-2 3×3 convs on few-channel (RGB)
+# inputs. These convs cost 3.6 ms of a 9.0 ms BiSeNetV2 deploy graph on v5e
+# (XLA's emitter keeps C=3 on the 128-lane minor axis). Measured in-graph on
+# the real chip: "plain" (XLA conv) 92 FPS end-to-end; "s2d" (space-to-depth)
+# 51 FPS; "planes" (im2col matmul — XLA lowers the strided parity slices to
+# s32 gather machinery) 13 FPS; "pallas" (ops/pallas/stem.py — bitcast-based
+# column deinterleave + 27-row MXU dots) is the fast path for bf16 deploy
+# graphs, enabled by bench/export.
+_STEM_IMPL = "plain"  # "plain" | "pallas" | "planes" | "s2d"
+
+
+def set_stem_impl(impl: str) -> None:
+    assert impl in ("plain", "pallas", "planes", "s2d"), impl
+    global _STEM_IMPL
+    _STEM_IMPL = impl
+
+
+def enable_s2d_stem(enable: bool = True) -> None:
+    set_stem_impl("s2d" if enable else "planes")
 
 
 class DepthwiseConv3x3(nn.Module):
-    """Depthwise/grouped 3×3 conv. Default path: XLA grouped conv (slow but
-    differentiable); with use_pallas_depthwise(True): the exact Pallas kernel
-    (mds_tpu.ops.pallas.depthwise). Parameter name/shape match nn.Conv's
-    HWIO grouped layout so checkpoints are interchangeable."""
+    """Depthwise/grouped 3×3 conv. Default: XLA grouped conv (fastest measured
+    on v5e, differentiable). Alternatives via set_depthwise_impl: 'shift' = 9
+    shifted multiply-adds (differentiable), 'pallas' = row-tile VPU kernel
+    (forward-only). Parameter name/shape match nn.Conv's HWIO grouped layout
+    so checkpoints are interchangeable."""
 
     out_chan: int
     stride: int = 1
@@ -153,20 +183,24 @@ class DepthwiseConv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from mds_tpu.ops.depthwise import kernel_from_hwio
+
         c_in = x.shape[-1]
         kernel = self.param(
             "kernel", conv_init(), (3, 3, 1, self.out_chan), jnp.float32
         )
-        if _PALLAS_DEPTHWISE:
+        if _DEPTHWISE_IMPL == "pallas":
             from mds_tpu.ops.pallas.depthwise import depthwise3x3_pallas
 
-            w = kernel.astype(self.dtype).reshape(
-                3, 3, c_in, self.out_chan // c_in
-            )
+            w = kernel_from_hwio(kernel.astype(self.dtype), c_in)
             return depthwise3x3_pallas(x.astype(self.dtype), w, self.stride)
+        if _DEPTHWISE_IMPL == "shift":
+            from mds_tpu.ops.depthwise import depthwise_conv3x3
+
+            w = kernel_from_hwio(kernel.astype(self.dtype), c_in)
+            return depthwise_conv3x3(x.astype(self.dtype), w, self.stride)
         # no preferred_element_type here: with bf16 operands its f32 output
-        # makes the conv VJP see mixed dtypes (bf16 activations × f32
-        # cotangents) and fail under jax.grad
+        # makes the conv VJP see mixed dtypes and fail under jax.grad
         return jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             (self.stride, self.stride), [(1, 1), (1, 1)],
@@ -175,11 +209,53 @@ class DepthwiseConv3x3(nn.Module):
         )
 
 
+class StemConv3x3S2(nn.Module):
+    """Full-resolution stride-2 3×3 stem conv on a few-channel (RGB) input.
+
+    XLA's own emitter keeps the 3-wide channel dim on the 128-lane minor
+    axis (2.3% lane utilization) — these two convs cost 3.6 ms of a 9.0 ms
+    BiSeNetV2 deploy graph on v5e. The default "planes" path
+    (ops/space_to_depth.conv3x3_s2_via_planes) rewrites the conv as a
+    27-row-patch matmul with full-lane layouts; it is exact and
+    differentiable. Param layout matches nn.Conv HWIO (3,3,C,O); odd
+    spatial sizes fall back to the plain conv."""
+
+    out_chan: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from mds_tpu.ops.space_to_depth import (
+            conv3x3_s2_via_planes,
+            conv3x3_s2_via_s2d,
+        )
+
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", conv_init(), (3, 3, c_in, self.out_chan), jnp.float32
+        )
+        x = x.astype(self.dtype)
+        even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        if even and _STEM_IMPL == "pallas" and x.dtype == jnp.bfloat16:
+            from mds_tpu.ops.pallas.stem import stem_conv3x3_s2
+
+            return stem_conv3x3_s2(x, kernel.astype(self.dtype))
+        if even and _STEM_IMPL == "planes":
+            return conv3x3_s2_via_planes(x, kernel.astype(self.dtype))
+        if even and _STEM_IMPL == "s2d":
+            return conv3x3_s2_via_s2d(x, kernel.astype(self.dtype))
+        return jax.lax.conv_general_dilated(
+            x, kernel.astype(self.dtype), (2, 2), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class ConvBNReLU(nn.Module):
     """conv → per-dataset BN → shared affine → ReLU
     (reference: lib/models/bisenetv2.py:12-74). One conv (shared weights)
     applied to each dataset's array. Grouped 3×3 convs with groups == C_in
-    take the fast depthwise path."""
+    take the fast depthwise path; stride-2 3×3 convs on few-channel inputs
+    (the RGB stems) take the space-to-depth path."""
 
     out_chan: int
     ks: int = 3
@@ -202,6 +278,12 @@ class ConvBNReLU(nn.Module):
             conv = DepthwiseConv3x3(
                 self.out_chan, self.stride, self.dtype, name="conv"
             )
+        elif (
+            _STEM_IMPL != "plain" and self.groups == 1 and self.ks == 3
+            and self.stride == 2 and self.dilation == 1 and not self.bias
+            and c_in <= 4
+        ):
+            conv = StemConv3x3S2(self.out_chan, self.dtype, name="conv")
         else:
             conv = nn.Conv(
                 self.out_chan,

@@ -67,8 +67,14 @@ class SharedListBN(nn.Module):
         )
         scale = bias = None
         if self.affine:
-            scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
-            bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+            # per-slot affine: the reference's ModuleList BNs own their
+            # weight/bias per pyramid level (resnet_pyramid.py:169-175)
+            scale = self.param(
+                "scale", nn.initializers.ones, (self.n_slots, c), jnp.float32
+            )
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.n_slots, c), jnp.float32
+            )
 
         live = [x for x in xs if x is not None]
         assert live, "SharedListBN needs at least one input"
@@ -100,7 +106,7 @@ class SharedListBN(nn.Module):
         def norm(x):
             y = (x.astype(jnp.float32) - m) * inv
             if self.affine:
-                y = y * scale + bias
+                y = y * scale[slot] + bias[slot]
             return y.astype(self.dtype)
 
         return lmap(norm, xs)
@@ -212,6 +218,37 @@ def _resize_list(xs: MultiX, size_hw, method: str):
     return lmap(rs, xs)
 
 
+# torch bicubic (a = −0.75, align_corners=False, no antialias) at an even
+# integer downsample factor reduces to a fixed separable 4-tap filter:
+# src = f·o + (f−1)/2 puts every sample at fractional offset 0.5 from the two
+# central pixels, so the kernel weights are W(1.5), W(0.5), W(0.5), W(1.5).
+_BICUBIC_TAPS = (-0.09375, 0.59375, 0.59375, -0.09375)
+
+
+def _bicubic_down_axis(x: jax.Array, axis: int, f: int) -> jax.Array:
+    n = x.shape[axis]
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 2)
+    xp = jnp.pad(x, pad, mode="edge")
+    out = None
+    for t, wgt in enumerate(_BICUBIC_TAPS):
+        start = f // 2 - 1 + t
+        sl = jax.lax.slice_in_dim(xp, start, start + (n // f - 1) * f + 1, f, axis)
+        out = sl * wgt if out is None else out + sl * wgt
+    return out
+
+
+def bicubic_downsample(x: jax.Array, factor: int) -> jax.Array:
+    """Exact torch F.interpolate(mode='bicubic', align_corners=False) for an
+    even integer 1/factor scale — the reference's pyramid_subsample
+    (resnet_pyramid.py:407-410). NHWC."""
+    assert factor % 2 == 0, factor
+    y = x.astype(jnp.float32)
+    y = _bicubic_down_axis(y, 1, factor)
+    y = _bicubic_down_axis(y, 2, factor)
+    return y.astype(x.dtype)
+
+
 class UpsampleBlend(nn.Module):
     """upsample→add-skip→BN-ReLU-conv3×3 (reference: util.py:120-142).
     BN/ReLU precede the conv (_BNReluConv order)."""
@@ -299,8 +336,7 @@ class SwiftNetPyramid(nn.Module):
                 base = x.shape[1:3]
                 break
         for l in range(1, lvls):
-            size = (base[0] // 2**l, base[1] // 2**l)
-            pyramid.append(_resize_list(xs, size, "cubic"))
+            pyramid.append(lmap(lambda x: bicubic_downsample(x, 2**l), xs))
 
         for idx, p in enumerate(pyramid):
             x = bn1(lmap(conv1, p), slot=idx, train=train)

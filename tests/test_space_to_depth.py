@@ -1,0 +1,88 @@
+"""Fast stem convs: exact parity with the plain stride-2 conv."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mds_tpu.ops.space_to_depth import (
+    conv3x3_s2_via_planes,
+    conv3x3_s2_via_s2d,
+    space_to_depth_2x2,
+)
+
+
+def plain_s2(x, k):
+    return jax.lax.conv_general_dilated(
+        x, k, (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@pytest.mark.parametrize("impl", [conv3x3_s2_via_s2d, conv3x3_s2_via_planes])
+@pytest.mark.parametrize("c_in,c_out", [(3, 64), (3, 16), (4, 8)])
+def test_fast_stem_matches_plain(impl, c_in, c_out):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 24, c_in)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.3, (3, 3, c_in, c_out)), jnp.float32)
+    want = np.asarray(plain_s2(x, k))
+    got = np.asarray(impl(x, k))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_space_to_depth_layout():
+    x = jnp.arange(2 * 4 * 4 * 3, dtype=jnp.float32).reshape(2, 4, 4, 3)
+    y = space_to_depth_2x2(x)
+    assert y.shape == (2, 2, 2, 12)
+    # channel layout (p, q, c): block (u,v), offset (p,q), channel c
+    np.testing.assert_array_equal(
+        np.asarray(y[0, 1, 0]),
+        np.asarray(
+            jnp.stack([x[0, 2 + p, 0 + q] for p in (0, 1) for q in (0, 1)]).reshape(-1)
+        ),
+    )
+
+
+@pytest.mark.parametrize("impl_name", ["planes", "s2d"])
+def test_stem_conv_module_param_layout_and_fallback(impl_name):
+    """ConvBNReLU stride-2 3ch path keeps nn.Conv's param tree, matches the
+    plain conv, and odd spatial sizes fall back without shape errors."""
+    from mds_tpu.models import layers
+    from mds_tpu.models.layers import ConvBNReLU
+
+    layers.set_stem_impl(impl_name)
+    try:
+        m = ConvBNReLU(16, ks=3, stride=2, n_bn=1)
+        x = jnp.asarray(
+            np.random.default_rng(1).normal(0, 1, (1, 16, 16, 3)), jnp.float32
+        )
+        v = m.init(jax.random.PRNGKey(0), [x], train=False)
+        assert v["params"]["conv"]["kernel"].shape == (3, 3, 3, 16)
+        (y,) = m.apply(v, [x], train=False)
+        assert y.shape == (1, 8, 8, 16)
+
+        x_odd = jnp.ones((1, 15, 17, 3), jnp.float32)
+        (y_odd,) = m.apply(v, [x_odd], train=False)
+        assert y_odd.shape == (1, 8, 9, 16)
+    finally:
+        layers.set_stem_impl("planes")
+
+
+def test_stem_conv_grad_bf16():
+    """bf16 training through the planes stem path must be differentiable."""
+    from mds_tpu.models.layers import ConvBNReLU
+
+    m = ConvBNReLU(16, ks=3, stride=2, n_bn=1, dtype=jnp.bfloat16)
+    x = jnp.ones((1, 8, 8, 3), jnp.bfloat16)
+    v = m.init(jax.random.PRNGKey(0), [x], train=False)
+
+    def loss(params):
+        (y,) = m.apply({"params": params, "batch_stats": v["batch_stats"]},
+                       [x], train=False)
+        return jnp.sum(y.astype(jnp.float32))
+
+    g = jax.grad(loss)(v["params"])
+    leaf = jax.tree_util.tree_leaves(g)[0]
+    assert np.isfinite(np.asarray(leaf, np.float32)).all()
