@@ -28,7 +28,9 @@ def main():
 
     # Pallas stem kernel: the two full-res RGB stem convs cost 3.6 ms of a
     # 9.0 ms graph under XLA's emitter (profiled 2026-08-16); the kernel is
-    # bit-exact vs the plain conv (err 0.0 on chip).
+    # bit-exact vs the plain conv (err 0.0 on chip). In eval graphs the BN
+    # and ReLU are folded into the kernel (bf16 out) — together 93.7 (r1)
+    # → 121.9 FPS.
     set_stem_impl("pallas")
     model = BiSeNetV2(n_classes=(19,), n_bn=1, aux=False, dtype=jnp.bfloat16)
     H, W = 1024, 2048

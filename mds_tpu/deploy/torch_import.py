@@ -311,6 +311,172 @@ def resnet18_torchvision_to_swiftnet(
     return p, s
 
 
+def hrnet_backbone_from_torch(
+    state: Mapping, n_bn: int = 1
+) -> Tuple[Dict, Dict]:
+    """HRNet ImageNet-classification state_dict (the reference's
+    hrnetv2_w48_imagenet_pretrained.pth layout; lib/models/HRNet_backbone.py)
+    → (params, batch_stats) for mds_tpu HRNetBackbone.
+
+    torch keys: conv1/bn1, conv2/bn2, layer1.{b} Bottlenecks,
+    transition{t}.{i}(.0).{0=conv,1=bn}, stage{s}.{m}.branches.{i}.{b},
+    stage{s}.{m}.fuse_layers.{i}.{j}(.{k}).{0,1}. Classifier heads
+    (incre/downsamp/final_layer/classifier) are dropped. Single torch BNs
+    broadcast into all n_bn per-dataset stat slots (shared affine)."""
+    p: Dict = {}
+    s: Dict = {}
+
+    def cbr(ours: str, conv_key: str, bn_key: str):
+        _set(p, f"{ours}/conv/kernel", _conv_w(state[conv_key]))
+        _set(p, f"{ours}/bn/scale", _np(state[f"{bn_key}.weight"]))
+        _set(p, f"{ours}/bn/bias", _np(state[f"{bn_key}.bias"]))
+        _set(s, f"{ours}/bn/mean",
+             np.tile(_np(state[f"{bn_key}.running_mean"]), (n_bn, 1)))
+        _set(s, f"{ours}/bn/var",
+             np.tile(_np(state[f"{bn_key}.running_var"]), (n_bn, 1)))
+
+    cbr("conv1", "conv1.weight", "bn1")
+    if "conv2.weight" in state:
+        cbr("conv2", "conv2.weight", "bn2")
+
+    b = 0
+    while f"layer1.{b}.conv1.weight" in state:
+        t, o = f"layer1.{b}", f"layer1_{b}"
+        for c in ("conv1", "conv2", "conv3"):
+            cbr(f"{o}/{c}", f"{t}.{c}.weight", f"{t}.bn{c[-1]}")
+        if f"{t}.downsample.0.weight" in state:
+            cbr(f"{o}/downsample", f"{t}.downsample.0.weight",
+                f"{t}.downsample.1")
+        b += 1
+
+    import re
+
+    for t in (1, 2, 3):
+        idxs = sorted({
+            int(m.group(1))
+            for k in state
+            if (m := re.match(rf"transition{t}\.(\d+)\.", k))
+        })
+        for i in idxs:  # identity transitions leave no keys — skip them
+            if f"transition{t}.{i}.0.weight" in state:  # channel adapt
+                cbr(f"transition{t}_{i}", f"transition{t}.{i}.0.weight",
+                    f"transition{t}.{i}.1")
+            elif f"transition{t}.{i}.0.0.weight" in state:  # new branch
+                cbr(f"transition{t}_{i}", f"transition{t}.{i}.0.0.weight",
+                    f"transition{t}.{i}.0.1")
+
+    for st in (2, 3, 4):
+        m = 0
+        while f"stage{st}.{m}.branches.0.0.conv1.weight" in state:
+            mod = f"stage{st}.{m}"
+            omod = f"stage{st}_module{m}"
+            i = 0
+            while f"{mod}.branches.{i}.0.conv1.weight" in state:
+                b = 0
+                while f"{mod}.branches.{i}.{b}.conv1.weight" in state:
+                    t = f"{mod}.branches.{i}.{b}"
+                    o = f"{omod}/branch{i}_block{b}"
+                    cbr(f"{o}/conv1", f"{t}.conv1.weight", f"{t}.bn1")
+                    cbr(f"{o}/conv2", f"{t}.conv2.weight", f"{t}.bn2")
+                    if f"{t}.downsample.0.weight" in state:
+                        cbr(f"{o}/downsample", f"{t}.downsample.0.weight",
+                            f"{t}.downsample.1")
+                    b += 1
+                i += 1
+            n_br = i
+            for i in range(n_br):
+                for j in range(n_br):
+                    if j == i:
+                        continue
+                    t = f"{mod}.fuse_layers.{i}.{j}"
+                    if j > i:
+                        if f"{t}.0.weight" in state:
+                            cbr(f"{omod}/fuse{i}_{j}", f"{t}.0.weight", f"{t}.1")
+                    else:
+                        k = 0
+                        while f"{t}.{k}.0.weight" in state:
+                            cbr(f"{omod}/fuse{i}_{j}_{k}",
+                                f"{t}.{k}.0.weight", f"{t}.{k}.1")
+                            k += 1
+            m += 1
+    return p, s
+
+
+def hrnet_ref_from_torch(state: Mapping, n_bn: int = 1) -> Tuple[Dict, Dict]:
+    """Reference multi-dataset HRNet layout (lib/models/HRNet_backbone.py,
+    ConvBNReLU blocks from lib/module/module_helper.py:63-220: `X.conv.
+    weight`, per-dataset `X.bn.{i}.running_*` affine=False, shared
+    `X.affine_weight/bias`) → (params, batch_stats) for HRNetBackbone."""
+    p: Dict = {}
+    s: Dict = {}
+
+    def cbr(ours: str, theirs: str):
+        _set(p, f"{ours}/conv/kernel", _conv_w(state[f"{theirs}.conv.weight"]))
+        _set(p, f"{ours}/bn/scale", _np(state[f"{theirs}.affine_weight"]))
+        _set(p, f"{ours}/bn/bias", _np(state[f"{theirs}.affine_bias"]))
+        _set(s, f"{ours}/bn/mean", np.stack(
+            [_np(state[f"{theirs}.bn.{i}.running_mean"]) for i in range(n_bn)]
+        ))
+        _set(s, f"{ours}/bn/var", np.stack(
+            [_np(state[f"{theirs}.bn.{i}.running_var"]) for i in range(n_bn)]
+        ))
+
+    cbr("conv1", "conv1")
+    if "conv2.conv.weight" in state:
+        cbr("conv2", "conv2")
+    b = 0
+    while f"layer1.{b}.conv1.conv.weight" in state:
+        for c in ("conv1", "conv2", "conv3"):
+            cbr(f"layer1_{b}/{c}", f"layer1.{b}.{c}")
+        if f"layer1.{b}.downsample.conv.weight" in state:
+            cbr(f"layer1_{b}/downsample", f"layer1.{b}.downsample")
+        b += 1
+    import re
+
+    for t in (1, 2, 3):
+        idxs = sorted({
+            int(m.group(1))
+            for k in state
+            if (m := re.match(rf"transition{t}\.(\d+)\.", k))
+        })
+        for i in idxs:  # None (identity) entries leave no keys — skip them
+            if f"transition{t}.{i}.conv.weight" in state:  # channel adapt
+                cbr(f"transition{t}_{i}", f"transition{t}.{i}")
+            elif f"transition{t}.{i}.0.conv.weight" in state:  # new branch
+                cbr(f"transition{t}_{i}", f"transition{t}.{i}.0")
+    for st in (2, 3, 4):
+        m = 0
+        while f"stage{st}.{m}.branches.0.0.conv1.conv.weight" in state:
+            mod, omod = f"stage{st}.{m}", f"stage{st}_module{m}"
+            i = 0
+            while f"{mod}.branches.{i}.0.conv1.conv.weight" in state:
+                b = 0
+                while f"{mod}.branches.{i}.{b}.conv1.conv.weight" in state:
+                    t = f"{mod}.branches.{i}.{b}"
+                    o = f"{omod}/branch{i}_block{b}"
+                    cbr(f"{o}/conv1", f"{t}.conv1")
+                    cbr(f"{o}/conv2", f"{t}.conv2")
+                    if f"{t}.downsample.conv.weight" in state:
+                        cbr(f"{o}/downsample", f"{t}.downsample")
+                    b += 1
+                i += 1
+            n_br = i
+            for i in range(n_br):
+                for j in range(n_br):
+                    if j == i:
+                        continue
+                    t = f"{mod}.fuse_layers.{i}.{j}"
+                    if j > i and f"{t}.conv.weight" in state:
+                        cbr(f"{omod}/fuse{i}_{j}", t)
+                    elif j < i:
+                        k = 0
+                        while f"{t}.{k}.conv.weight" in state:
+                            cbr(f"{omod}/fuse{i}_{j}_{k}", f"{t}.{k}")
+                            k += 1
+            m += 1
+    return p, s
+
+
 def merge_subtree(variables: Dict, subtree: Dict, *path: str) -> Dict:
     """Return a copy of a variables collection with `subtree` grafted onto
     collection[path] (replacing only the keys present in subtree)."""

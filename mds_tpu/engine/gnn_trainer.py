@@ -35,13 +35,22 @@ from mds_tpu.engine.lr_schedule import warmup_poly_lr
 from mds_tpu.engine.train_state import TrainState
 from mds_tpu.engine.train_step import normalize_images
 from mds_tpu.losses.cross_datasets import CrossDatasetsCELossAdvGNN
-from mds_tpu.models.gnn import LearnableTopologyBGNN, max_mask_graphs
+from mds_tpu.models.gnn import (
+    LearnableTopologyBGNN,
+    gumbel_max_graphs,
+    gumbel_softmax_decay,
+    max_mask_graphs,
+)
 from mds_tpu.models.semseg import (
     SemsegModel,
     set_bipartite_graphs,
     set_unify_prototype,
 )
-from mds_tpu.ops.uot_match import pretrain_bipartite_graphs, sep_bipartite_graphs_by_uot
+from mds_tpu.ops.uot_match import (
+    pretrain_bipartite_graphs,
+    sep_bipartite_graphs_by_km,
+    sep_bipartite_graphs_by_uot,
+)
 
 SEG, GNN = "SEG", "GNN"
 
@@ -66,6 +75,7 @@ class AlternatingTrainer:
                 configer, nfeat=self.gnn_model.nfeat
             )
         self.node_features = jnp.asarray(node_features, jnp.float32)
+        self.compute_dtype = compute_dtype
 
         g = lambda *k, d=None: configer.get(*k, default=d)
         self.seg_iters = int(g("train", "seg_iters", d=200))
@@ -121,6 +131,12 @@ class AlternatingTrainer:
         # lr.init_iter steps before normal alternation
         self.init_iters = int(g("lr", "init_iter", d=0))
         self.mode = g("train", "mode", d="alternate")  # alternate|seg|gnn
+        # annealed Gumbel-softmax max graphs (reference GNN.GumbelSoftmax,
+        # graph_attention_network.py:958-960,1059-1063; τ₀=10)
+        self.gumbel = bool(g("GNN", "GumbelSoftmax", d=False))
+        self.gumbel_tau0 = float(g("GNN", "gumbel_tau0", d=10.0))
+        # KM/Munkres discrete matching alternative to UOT (ref :950-956,1220)
+        self.use_km = bool(g("GNN", "use_km", d=False))
         self._pretrain_graphs = [
             jnp.asarray(gr)
             for gr in pretrain_bipartite_graphs(self.dataset_cats, self.M)
@@ -141,7 +157,10 @@ class AlternatingTrainer:
 
         is_adv_mode = gnn_model.mse_or_adv == "adv"
 
-        def gnn_loss_fn(gnn_params, seg_state, buffers, node_feats, ims, lbs, rng, max_rate):
+        use_gumbel = self.gumbel
+
+        def gnn_loss_fn(gnn_params, seg_state, buffers, node_feats, ims, lbs,
+                        rng, max_rate, tau):
             xs = normalize_images(ims, means, stds, dtype=compute_dtype)
             feats = seg_model.apply(
                 {"params": seg_state.params, "batch_stats": seg_state.batch_stats,
@@ -155,11 +174,20 @@ class AlternatingTrainer:
             )
             # 2n graphs: [max0, soft0, max1, soft1, …] — max graphs are the
             # stop-gradient max-masked block (the UOT-discrete stand-in inside
-            # jit; the true UOT graphs replace them at the stage switch)
-            maxg = [
-                jax.lax.stop_gradient(g)
-                for g in max_mask_graphs(out["adj_block"], self.dataset_cats)
-            ]
+            # jit; the true UOT graphs replace them at the stage switch).
+            # With GNN.GumbelSoftmax the max graphs are instead annealed
+            # Gumbel-softmax samples (differentiable, τ decays per gnn iter —
+            # reference graph_attention_network.py:1059-1063).
+            if use_gumbel:
+                maxg = gumbel_max_graphs(
+                    out["adj_block"], self.dataset_cats, tau,
+                    jax.random.fold_in(rng, 7),
+                )
+            else:
+                maxg = [
+                    jax.lax.stop_gradient(g)
+                    for g in max_mask_graphs(out["adj_block"], self.dataset_cats)
+                ]
             graphs = []
             for i in range(n):
                 graphs.extend([maxg[i], out["bi_graphs"][i]])
@@ -180,10 +208,12 @@ class AlternatingTrainer:
                 loss = loss + metrics["adv_loss"]
             return loss, metrics
 
-        def gnn_step(gnn_state, seg_state, buffers, node_feats, ims, lbs, rng, max_rate):
+        def gnn_step(gnn_state, seg_state, buffers, node_feats, ims, lbs, rng,
+                     max_rate, tau):
             rng = jax.random.fold_in(rng, gnn_state.step)
             grads, metrics = jax.grad(gnn_loss_fn, has_aux=True)(
-                gnn_state.params, seg_state, buffers, node_feats, ims, lbs, rng, max_rate
+                gnn_state.params, seg_state, buffers, node_feats, ims, lbs,
+                rng, max_rate, tau
             )
             updates, opt_state = self.gnn_tx.update(
                 grads, gnn_state.opt_state, gnn_state.params
@@ -302,10 +332,18 @@ class AlternatingTrainer:
         """GNN→SEG switch payload: (prototypes, discrete UOT graphs)
         (reference :793-849 → ltbgnn_direct_learn.py get_optimal_matching)."""
         proto, block = self._infer(self.gnn_state.params, self.node_features)
-        graphs, self.betas = sep_bipartite_graphs_by_uot(
-            np.asarray(block), self.dataset_cats, self.betas,
-            uot_ratio=float(self.configer.get("GNN", "uot_ratio", default=1.0)),
-        )
+        if self.use_km:
+            # Hungarian/KM alternative (reference sep_bipartite_graphs_by_km)
+            graphs = sep_bipartite_graphs_by_km(
+                np.asarray(block), self.dataset_cats
+            )
+        else:
+            graphs, self.betas = sep_bipartite_graphs_by_uot(
+                np.asarray(block), self.dataset_cats, self.betas,
+                uot_ratio=float(
+                    self.configer.get("GNN", "uot_ratio", default=1.0)
+                ),
+            )
         self.uot_bi = graphs
         return np.asarray(proto), graphs
 
@@ -341,7 +379,7 @@ class AlternatingTrainer:
             opt_state=self.gnn_tx.init(self.gnn_state.params),
             step=self.gnn_state.step,
         )
-        self._build_steps(jnp.float32)
+        self._build_steps(self.compute_dtype)
         self.stage = GNN
         self.alter_iter = 0
 
@@ -429,9 +467,14 @@ class AlternatingTrainer:
         lbs = [jnp.asarray(x) for x in batch["lbs"]]
         if self.stage == GNN:
             max_rate = jnp.float32(self.alter_iter / max(self.gnn_iters, 1))
+            # Gumbel τ anneals with the iter inside the current gnn stage
+            # (reference cur_iter % gnn_iters, :1061-1062; r=2e-5, τ₀=10)
+            tau = jnp.float32(gumbel_softmax_decay(
+                self.alter_iter, 2e-5, self.gumbel_tau0, 0.01
+            ))
             self.gnn_state, metrics = self._gnn_step(
                 self.gnn_state, self.seg_state, self.seg_buffers,
-                self.node_features, ims, lbs, rng, max_rate,
+                self.node_features, ims, lbs, rng, max_rate, tau,
             )
         else:
             self.seg_state, metrics = self._seg_step(

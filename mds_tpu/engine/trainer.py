@@ -120,16 +120,47 @@ class Trainer:
         if path.endswith((".pth", ".pt")):
             import torch
 
-            from mds_tpu.deploy.torch_import import bisenetv2_from_torch
+            from mds_tpu.deploy import torch_import as ti
 
             sd = torch.load(path, map_location="cpu")
-            params, stats = bisenetv2_from_torch(
-                sd, n_bn=self.configer.n_datasets
-            )
-            self.state = self.state.replace(
-                params=jax.tree_util.tree_map(jnp.asarray, params),
-                batch_stats=jax.tree_util.tree_map(jnp.asarray, stats),
-            )
+            if isinstance(sd, dict) and "model_state_dict" in sd:
+                sd = sd["model_state_dict"]
+            if "backbone.conv1.weight" in sd and "unify_prototype" in sd:
+                # reference SemsegModel / snp_rn18 checkpoint
+                params, stats, buffers = ti.semseg_from_torch(sd)
+                self.state = self.state.replace(
+                    params=jax.tree_util.tree_map(jnp.asarray, params),
+                    batch_stats=jax.tree_util.tree_map(jnp.asarray, stats),
+                )
+            elif "fc.weight" in sd or (
+                "conv1.weight" in sd and "layer1.0.conv1.weight" in sd
+                and "detail.S1_1.conv.weight" not in sd
+            ):
+                # torchvision ImageNet ResNet18 → SwiftNet trunk graft
+                tp, ts = ti.resnet18_torchvision_to_swiftnet(sd)
+                v = {"params": dict(self.state.params),
+                     "batch_stats": dict(self.state.batch_stats)}
+                sub = "backbone" if "backbone" in v["params"] else None
+                v = ti.merge_subtree(
+                    v, tp, *( ("params", sub) if sub else ("params",))
+                )
+                v = ti.merge_subtree(
+                    v, ts, *( ("batch_stats", sub) if sub else ("batch_stats",))
+                )
+                self.state = self.state.replace(
+                    params=jax.tree_util.tree_map(jnp.asarray, v["params"]),
+                    batch_stats=jax.tree_util.tree_map(
+                        jnp.asarray, v["batch_stats"]
+                    ),
+                )
+            else:
+                params, stats = ti.bisenetv2_from_torch(
+                    sd, n_bn=self.configer.n_datasets
+                )
+                self.state = self.state.replace(
+                    params=jax.tree_util.tree_map(jnp.asarray, params),
+                    batch_stats=jax.tree_util.tree_map(jnp.asarray, stats),
+                )
         else:
             restored, _ = CheckpointManager(path).restore(self.state)
             self.state = self.state.replace(

@@ -322,6 +322,38 @@ def max_mask_graphs(block, dataset_cats) -> List[jax.Array]:
     return out
 
 
+def gumbel_softmax_decay(current_iter: int, r: float = 2e-5,
+                         max_temp: float = 10.0,
+                         min_temp: float = 0.01) -> float:
+    """Annealing schedule from Jang et al. (ICLR'17), reference
+    np_gumbel_softmax_decay (graph_attention_network.py:1207-1218):
+    τ = max(min_temp, max_temp·e^(−r·iter))."""
+    import numpy as np
+
+    return float(np.maximum(min_temp, max_temp * np.exp(-r * current_iter)))
+
+
+def gumbel_max_graphs(block, dataset_cats, tau, rng) -> List[jax.Array]:
+    """Annealed Gumbel-softmax 'max' graphs — the GNN.GumbelSoftmax=true path
+    of sep_bipartite_graphs (graph_attention_network.py:1059-1063):
+    per dataset, F.gumbel_softmax(10·block, τ, hard=False, dim=0) =
+    softmax((10·block + Gumbel noise)/τ) over the dataset-class axis.
+    Differentiable — as τ anneals toward min_temp the samples sharpen toward
+    the discrete column-max graphs."""
+    out = []
+    cur = 0
+    keys = jax.random.split(rng, len(dataset_cats))
+    for i, c in enumerate(dataset_cats):
+        g = block[cur : cur + c]
+        u = jax.random.uniform(
+            keys[i], g.shape, minval=jnp.finfo(jnp.float32).tiny, maxval=1.0
+        )
+        gumbel = -jnp.log(-jnp.log(u))
+        out.append(jax.nn.softmax((10.0 * g + gumbel) / tau, axis=0))
+        cur += c
+    return out
+
+
 @MODELS.register("learnable_topology_BGNN_adj")
 def ltbgnn_adj(configer=None, **kw):
     return LearnableTopologyBGNN.from_configer(configer, adj_mode="direct", **kw)

@@ -69,7 +69,8 @@ class DatasetNorm(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xs: MultiX, *, train: bool) -> List[Optional[jax.Array]]:
+    def __call__(self, xs: MultiX, *, train: bool,
+                 fold: bool = False) -> List[Optional[Any]]:
         c = self.features
         assert len(xs) == self.n_bn, (len(xs), self.n_bn)
         ra_mean = self.variable(
@@ -90,6 +91,27 @@ class DatasetNorm(nn.Module):
             s = scale if self.shared_affine else scale[i]
             b = bias if self.shared_affine else bias[i]
             return y * s + b
+
+        if fold:
+            # deploy fold: return per-dataset (scale, bias) so the eval-mode
+            # BN collapses into the preceding conv (y = conv(x)·s + b).
+            # Entry i is None where xs[i] is None; variable creation order is
+            # identical to the normalize path, so param trees match.
+            assert not train, "BN folding is eval-only"
+            coeffs: List[Optional[Tuple[jax.Array, jax.Array]]] = []
+            for i, x in enumerate(xs):
+                if x is None:
+                    coeffs.append(None)
+                    continue
+                inv = jax.lax.rsqrt(ra_var.value[i] + self.eps)
+                if self.affine:
+                    s = scale if self.shared_affine else scale[i]
+                    b = bias if self.shared_affine else bias[i]
+                else:
+                    s, b = 1.0, 0.0
+                s_full = inv * s
+                coeffs.append((s_full, b - ra_mean.value[i] * s_full))
+            return coeffs
 
         mutable = self.is_mutable_collection("batch_stats")
         new_mean, new_var = ra_mean.value, ra_var.value
@@ -224,7 +246,13 @@ class StemConv3x3S2(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, scale: Optional[jax.Array] = None,
+                 bias: Optional[jax.Array] = None,
+                 relu: bool = False) -> jax.Array:
+        """Plain stem conv; with (scale, bias) — folded eval-BN coefficients —
+        the whole conv→BN→[ReLU] chain runs fused (bf16 out, no f32
+        intermediate) on the Pallas path, with an exact elementwise fallback
+        elsewhere."""
         from mds_tpu.ops.space_to_depth import (
             conv3x3_s2_via_planes,
             conv3x3_s2_via_s2d,
@@ -236,18 +264,36 @@ class StemConv3x3S2(nn.Module):
         )
         x = x.astype(self.dtype)
         even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
-        if even and _STEM_IMPL == "pallas" and x.dtype == jnp.bfloat16:
+        fused = scale is not None
+        pallas_ok = (
+            even and _STEM_IMPL == "pallas" and x.dtype == jnp.bfloat16
+            and c_in == 3
+        )
+        if fused and pallas_ok:
+            from mds_tpu.ops.pallas.stem import stem_conv_bn_relu_s2
+
+            return stem_conv_bn_relu_s2(
+                x, kernel.astype(self.dtype), scale, bias, relu=relu
+            )
+        if pallas_ok:
             from mds_tpu.ops.pallas.stem import stem_conv3x3_s2
 
-            return stem_conv3x3_s2(x, kernel.astype(self.dtype))
-        if even and _STEM_IMPL == "planes":
-            return conv3x3_s2_via_planes(x, kernel.astype(self.dtype))
-        if even and _STEM_IMPL == "s2d":
-            return conv3x3_s2_via_s2d(x, kernel.astype(self.dtype))
-        return jax.lax.conv_general_dilated(
-            x, kernel.astype(self.dtype), (2, 2), [(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+            y = stem_conv3x3_s2(x, kernel.astype(self.dtype))
+        elif even and _STEM_IMPL == "planes":
+            y = conv3x3_s2_via_planes(x, kernel.astype(self.dtype))
+        elif even and _STEM_IMPL == "s2d":
+            y = conv3x3_s2_via_s2d(x, kernel.astype(self.dtype))
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(self.dtype), (2, 2), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if fused:
+            y = y.astype(jnp.float32) * scale + bias
+            if relu:
+                y = jnp.maximum(y, 0.0)
+            y = y.astype(self.dtype)
+        return y
 
 
 class ConvBNReLU(nn.Module):
@@ -298,14 +344,23 @@ class ConvBNReLU(nn.Module):
                 kernel_init=conv_init(),
                 name="conv",
             )
-        xs = lmap(conv, xs)
-        xs = DatasetNorm(
+        bn = DatasetNorm(
             self.out_chan,
             n_bn=self.n_bn,
             shared_affine=self.shared_affine,
             dtype=self.dtype,
             name="bn",
-        )(xs, train=train)
+        )
+        if isinstance(conv, StemConv3x3S2) and not train:
+            # deploy-fused stem: fold the eval-mode BN into the conv and run
+            # conv→affine→ReLU in one pass (bf16 out on the Pallas path)
+            coeffs = bn(xs, train=False, fold=True)
+            return [
+                None if x is None else conv(x, cf[0], cf[1], relu=self.relu)
+                for x, cf in zip(xs, coeffs)
+            ]
+        xs = lmap(conv, xs)
+        xs = bn(xs, train=train)
         if self.relu:
             xs = lmap(nn.relu, xs)
         return xs

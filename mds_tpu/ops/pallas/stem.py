@@ -34,13 +34,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(xu0, xu1, xu2, w_ref, out_ref, a_ref, *, th: int, w2: int, o: int):
+def _kernel(xu0, xu1, xu2, w_ref, out_ref, a_ref, *, th: int, w2: int, o: int,
+            relu: bool = False):
     """One grid step: th output rows × full output width.
 
     xu{c}: (1, 1, 2·th+1, w2+1) u32 — bf16 column pairs of the padded plane.
-    w_ref: (32, No) f32 — rows are taps (dy, dx, c) row-major, zero-padded.
-    out_ref: (1, 1, th, w2, o). a_ref: (32, w2) f32 scratch (patch matrix).
-    """
+    w_ref: (32, No) f32 — rows are taps (dy, dx, c) row-major, zero-padded;
+    when BN is folded, row 27 holds the bias (the patch matrix's pad row 27
+    is set to ones). out_ref: (1, 1, th, w2, o) f32, or bf16 when fused.
+    a_ref: (32, w2) f32 scratch (patch matrix)."""
     planes = []
     for xu in (xu0, xu1, xu2):
         u = xu[0, 0]  # (2th+1, w2+1) u32
@@ -48,7 +50,11 @@ def _kernel(xu0, xu1, xu2, w_ref, out_ref, a_ref, *, th: int, w2: int, o: int):
         od = pltpu.bitcast(u & jnp.uint32(0xFFFF0000), jnp.float32)
         planes.append((ev, od))
     w = w_ref[:]
-    a_ref[27:32, :] = jnp.zeros((5, w2), jnp.float32)  # pad rows: kill garbage
+    fused = out_ref.dtype == jnp.bfloat16
+    # pad rows: kill garbage; row 27 = 1 ⇒ dot adds w[27] = folded BN bias
+    a_ref[27:32, :] = jnp.zeros((5, w2), jnp.float32)
+    if fused:
+        a_ref[27:28, :] = jnp.ones((1, w2), jnp.float32)
     for y in range(th):
         k = 0
         for dy in range(3):
@@ -68,21 +74,31 @@ def _kernel(xu0, xu1, xu2, w_ref, out_ref, a_ref, *, th: int, w2: int, o: int):
             a_ref[:], w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (w2, No)
-        # f32 output: the consumer is BatchNorm, which computes in f32 —
-        # a bf16 output here forces XLA to materialize a full-image f32
-        # convert + layout copy (profiled 1.3 ms); writing f32 costs only
-        # the extra HBM bytes (~0.1 ms)
-        out_ref[0, 0, y] = out[:, :o]
+        if fused:
+            # BN scale pre-folded into w; bias added via the ones row; the
+            # ReLU rides along and the store truncates to bf16 — no f32
+            # full-image intermediate ever reaches HBM
+            if relu:
+                out = jnp.maximum(out, 0.0)
+            out_ref[0, 0, y] = out[:, :o].astype(jnp.bfloat16)
+        else:
+            # f32 output: the consumer is BatchNorm, which computes in f32 —
+            # a bf16 output here forces XLA to materialize a full-image f32
+            # convert + layout copy (profiled 1.3 ms); writing f32 costs only
+            # the extra HBM bytes (~0.1 ms)
+            out_ref[0, 0, y] = out[:, :o]
 
 
-@functools.partial(jax.jit, static_argnames=("th", "interpret"))
+@functools.partial(jax.jit, static_argnames=("th", "interpret", "relu"))
 def _stem_fwd(x: jax.Array, k: jax.Array, th: int = 8,
-              interpret: bool = False) -> jax.Array:
+              interpret: bool = False, scale=None, bias=None,
+              relu: bool = False) -> jax.Array:
     b, h, w, c = x.shape
     _, _, kc, o = k.shape
     assert c == 3 and kc == 3, (x.shape, k.shape)
     assert h % 2 == 0 and w % 2 == 0, (h, w)
     assert x.dtype == jnp.bfloat16, x.dtype
+    fused = scale is not None
     h2, w2 = h // 2, w // 2
     n_t = -(-h2 // th)
 
@@ -110,21 +126,27 @@ def _stem_fwd(x: jax.Array, k: jax.Array, th: int = 8,
     wm_rows = [k[dy, (dx + 1), ci] for dy in range(3) for dx in (-1, 0, 1)
                for ci in range(3)]
     wm = jnp.stack(wm_rows).astype(jnp.float32)  # (27, O)
-    wm = jnp.pad(wm, ((0, 32 - 27), (0, no - o)))
+    if fused:
+        # fold BN: conv·scale + bias ≡ (K·scale-per-O) conv, bias injected
+        # through the all-ones pad row 27 of the patch matrix
+        wm = wm * scale.astype(jnp.float32)[None, :]
+        wm = jnp.concatenate([wm, bias.astype(jnp.float32)[None, :]], axis=0)
+    wm = jnp.pad(wm, ((0, 32 - wm.shape[0]), (0, no - o)))
 
     in_spec = pl.BlockSpec(
         (1, 1, 2 * th + 1, w2 + 1), lambda bi, ti: (bi, ti, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    out_dtype = jnp.bfloat16 if fused else jnp.float32
     out = pl.pallas_call(
-        functools.partial(_kernel, th=th, w2=w2, o=o),
+        functools.partial(_kernel, th=th, w2=w2, o=o, relu=relu),
         grid=(b, n_t),
         in_specs=[in_spec] * 3 + [pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(
             (1, 1, th, w2, o), lambda bi, ti: (bi, ti, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n_t, th, w2, o), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n_t, th, w2, o), out_dtype),
         scratch_shapes=[pltpu.VMEM((32, w2), jnp.float32)],
         interpret=interpret,
     )(*tiles_c, wm)
@@ -143,6 +165,18 @@ def stem_conv3x3_s2(x: jax.Array, k: jax.Array) -> jax.Array:
     """conv(k=3, s=2, pad=1) on a 3-channel bf16 NHWC input via the Pallas
     stem kernel. x (B,H,W,3) bf16, H,W even; k (3,3,3,O). → (B,H/2,W/2,O)."""
     return _stem_fwd(x, k, interpret=jax.default_backend() != "tpu")
+
+
+def stem_conv_bn_relu_s2(x: jax.Array, k: jax.Array, scale: jax.Array,
+                         bias: jax.Array, relu: bool = True) -> jax.Array:
+    """Deploy-fused stem: conv(3×3, s=2) → ·scale + bias → [ReLU], emitted
+    directly as bf16 by the Pallas kernel (no f32 full-image intermediate —
+    the eval-mode BN is folded into the conv weights, the bias rides the
+    patch matrix's ones row, and the ReLU + bf16 store happen in-register).
+    Eval/inference only (no VJP). scale/bias are the folded BN coefficients:
+    scale = γ·rsqrt(var+eps), bias = β − mean·scale."""
+    return _stem_fwd(x, k, interpret=jax.default_backend() != "tpu",
+                     scale=scale, bias=bias, relu=relu)
 
 
 def _fwd(x, k):

@@ -94,6 +94,40 @@ def sep_bipartite_graphs_by_uot(
     return graphs, new_betas
 
 
+def km_bipartite_match(affinity: np.ndarray) -> np.ndarray:
+    """KM/Munkres discrete matching for one dataset's (n_cats, M) affinity
+    block (reference sep_bipartite_graphs_by_km with use_km=True,
+    graph_attention_network.py:1220-1244): Hungarian assignment maximizing
+    total affinity (munkres on −affinity ≡ scipy linear_sum_assignment with
+    maximize), then every unified column the assignment left uncovered goes
+    to its argmax dataset class — so each dataset class keeps exactly the
+    column the assignment gave it, and no column is orphaned."""
+    from scipy.optimize import linear_sum_assignment
+
+    n_cats, M = affinity.shape
+    rows, cols = linear_sum_assignment(-np.asarray(affinity, np.float64))
+    out = np.zeros((n_cats, M), np.float32)
+    covered = np.zeros(M, bool)
+    for r, c in zip(rows, cols):
+        out[r, c] = 1.0
+        covered[c] = True
+    for j in np.flatnonzero(~covered):
+        out[int(np.argmax(affinity[:, j])), j] = 1.0
+    return out
+
+
+def sep_bipartite_graphs_by_km(
+    adj: np.ndarray, dataset_cats: Sequence[int]
+) -> List[np.ndarray]:
+    """Multi-dataset KM matching over the (total_cats, M) affinity block —
+    the discrete alternative to UOT (GNN.use_km)."""
+    graphs, cur = [], 0
+    for c in dataset_cats:
+        graphs.append(km_bipartite_match(np.asarray(adj[cur : cur + c])))
+        cur += c
+    return graphs
+
+
 def pretrain_bipartite_graphs(dataset_cats: Sequence[int], M: int) -> List[np.ndarray]:
     """Identity block-diagonal init graphs
     (graph_attention_network.py:1091-1104)."""

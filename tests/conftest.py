@@ -29,3 +29,27 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+# ---------------------------------------------------------------------------
+# Fast default suite (VERDICT r1 weak #7): this box has ONE cpu core, so the
+# heavy e2e tests (gnn trainer, integration miou, train step) dominate the
+# ~10 min serial wall time. `pytest -q` runs the fast subset; the slow e2e
+# tests run with `pytest --runslow` (or RUN_SLOW=1).
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run @pytest.mark.slow end-to-end tests",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow e2e: run with --runslow / RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

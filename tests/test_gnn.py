@@ -256,3 +256,107 @@ def test_gat_layer_and_gnn_type():
     vg = gnn.init({"params": jax.random.PRNGKey(0)}, xg, train=False)
     out = gnn.apply(vg, xg, train=False)
     assert out["unify_prototype"].shape == (sum(CATS), 8)
+
+
+def test_gumbel_softmax_decay_schedule():
+    """Golden vs the reference formula (np_gumbel_softmax_decay,
+    graph_attention_network.py:1207-1218)."""
+    import numpy as np
+
+    from mds_tpu.models.gnn import gumbel_softmax_decay
+
+    for it, r, mx, mn in [(0, 2e-5, 10.0, 0.01), (1000, 2e-5, 10.0, 0.01),
+                          (10**6, 2e-5, 10.0, 0.01), (5, 1e-4, 1.0, 0.1)]:
+        want = max(mn, mx * np.exp(-r * it))
+        got = gumbel_softmax_decay(it, r, mx, mn)
+        assert abs(got - want) < 1e-9, (it, got, want)
+
+
+def test_gumbel_max_graphs_matches_numpy_formula():
+    """The jax Gumbel sampler must equal softmax((10·g + G)/τ) with the same
+    Gumbel noise (torch F.gumbel_softmax semantics, dim=0)."""
+    import numpy as np
+
+    from mds_tpu.models.gnn import gumbel_max_graphs
+
+    cats = (3, 4)
+    M = 6
+    rng = np.random.default_rng(0)
+    block = jnp.asarray(rng.normal(0, 1, (sum(cats), M)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    tau = 0.7
+    out = gumbel_max_graphs(block, cats, tau, key)
+    # reconstruct the same noise with the same key schedule
+    keys = jax.random.split(key, len(cats))
+    cur = 0
+    for i, c in enumerate(cats):
+        g = np.asarray(block[cur:cur + c])
+        u = np.asarray(jax.random.uniform(
+            keys[i], (c, M), minval=float(np.finfo(np.float32).tiny), maxval=1.0
+        ))
+        gum = -np.log(-np.log(u))
+        z = (10.0 * g + gum) / tau
+        want = np.exp(z - z.max(0)) / np.exp(z - z.max(0)).sum(0)
+        np.testing.assert_allclose(np.asarray(out[i]), want, atol=1e-5)
+        # columns are distributions over dataset classes
+        np.testing.assert_allclose(np.asarray(out[i]).sum(0), 1.0, atol=1e-5)
+        cur += c
+
+
+def test_gumbel_anneals_to_argmax():
+    """At τ→min the samples sharpen onto the column-argmax rows when the
+    affinities are well separated."""
+    import numpy as np
+
+    cats = (4,)
+    block = jnp.asarray(np.eye(4, 5) * 5.0, jnp.float32)  # huge margins
+    from mds_tpu.models.gnn import gumbel_max_graphs
+
+    out = gumbel_max_graphs(block, cats, 0.01, jax.random.PRNGKey(0))[0]
+    hard = np.asarray(out).argmax(0)
+    assert list(hard[:4]) == [0, 1, 2, 3]
+    assert np.asarray(out).max(0).min() > 0.99  # nearly one-hot columns
+
+
+def test_km_bipartite_match():
+    """Hungarian matching + orphan-column repair
+    (reference sep_bipartite_graphs_by_km, :1220-1244)."""
+    import numpy as np
+
+    from mds_tpu.ops.uot_match import km_bipartite_match, sep_bipartite_graphs_by_km
+
+    aff = np.array([
+        [0.9, 0.1, 0.0, 0.8],
+        [0.2, 0.8, 0.1, 0.9],
+        [0.1, 0.3, 0.7, 0.0],
+    ], np.float32)
+    g = km_bipartite_match(aff)
+    # assignment maximizes total affinity: (0,0), (1,1)... check optimality
+    # by brute force over all row permutations of 3 of the 4 columns
+    import itertools
+
+    best, best_v = None, -1.0
+    for cols in itertools.permutations(range(4), 3):
+        v = sum(aff[r, c] for r, c in enumerate(cols))
+        if v > best_v:
+            best, best_v = cols, v
+    got_v = 0.0
+    for r in range(3):
+        matched = np.flatnonzero(g[r] == 1)
+        # the row's assignment column is among its 1s
+    # every column has exactly one owner; every row kept >= 1 column
+    assert (g.sum(axis=0) == 1).all()
+    assert (g.sum(axis=1) >= 1).all()
+    # the assignment part achieves the brute-force optimum
+    assign_cols = {r: None for r in range(3)}
+    # reconstruct: columns owned by each row; the Hungarian columns are the
+    # subset where that column's owner row also maximizes the brute force
+    total = sum(aff[np.argmax(g[:, j]), j] for j in range(4) if g[:, j].sum())
+    assert total >= best_v - 1e-6  # includes orphan columns => >= optimum
+
+    gs = sep_bipartite_graphs_by_km(
+        np.concatenate([aff, aff[:2]], axis=0), (3, 2)
+    )
+    assert gs[0].shape == (3, 4) and gs[1].shape == (2, 4)
+    for gg in gs:
+        assert (gg.sum(axis=0) == 1).all()

@@ -220,3 +220,62 @@ def test_semseg_snp_eval_forward_matches_reference():
     got = np.asarray(got).transpose(0, 3, 1, 2)
     assert got.shape == want.shape, (got.shape, want.shape)
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_hrnet_backbone_forward_matches_reference():
+    """HRNetBackbone vs the reference's multi-dataset HighResolutionNet
+    (lib/models/HRNet_backbone.py:297-580) on a tiny stage config, weights
+    transferred via hrnet_ref_from_torch."""
+    ref = import_ref_package_module("lib.models.HRNet_backbone")
+    from mds_tpu.deploy.torch_import import hrnet_ref_from_torch
+    from mds_tpu.models.hrnet import HRNetBackbone
+
+    tiny = {
+        "STAGE2": {"NUM_MODULES": 1, "NUM_BRANCHES": 2, "NUM_BLOCKS": [1, 1],
+                   "NUM_CHANNELS": [8, 16], "BLOCK": "BASIC",
+                   "FUSE_METHOD": "SUM"},
+        "STAGE3": {"NUM_MODULES": 1, "NUM_BRANCHES": 3, "NUM_BLOCKS": [1, 1, 1],
+                   "NUM_CHANNELS": [8, 16, 32], "BLOCK": "BASIC",
+                   "FUSE_METHOD": "SUM"},
+        "STAGE4": {"NUM_MODULES": 1, "NUM_BRANCHES": 4,
+                   "NUM_BLOCKS": [1, 1, 1, 1],
+                   "NUM_CHANNELS": [8, 16, 32, 64], "BLOCK": "BASIC",
+                   "FUSE_METHOD": "SUM"},
+    }
+    import configs.hrnet_config as ref_hc  # the reference's configs pkg
+    ref_hc.MODEL_CONFIGS["tiny"] = tiny
+
+    cfg = DictConfiger({
+        "hrnet": {"full_res_stem": False, "cfg": "tiny",
+                  "keep_imagenet_head": False, "drop_stage4": False},
+        "n_bn": 1,
+    })
+    torch.manual_seed(0)
+    net = ref.HighResolutionNet(cfg, bn_type="torchbn", bn_momentum=0.1).eval()
+    sd = randomize_state(net, seed=8)
+
+    g = torch.Generator().manual_seed(9)
+    x = torch.randn(1, 3, 32, 32, generator=g)
+    with torch.no_grad():
+        want = net(x, dataset=0)  # list of 4 branch outputs (single-ds lists)
+
+    stages = {
+        "stage2": dict(num_modules=1, num_branches=2, num_blocks=(1, 1),
+                       num_channels=(8, 16)),
+        "stage3": dict(num_modules=1, num_branches=3, num_blocks=(1, 1, 1),
+                       num_channels=(8, 16, 32)),
+        "stage4": dict(num_modules=1, num_branches=4, num_blocks=(1, 1, 1, 1),
+                       num_channels=(8, 16, 32, 64)),
+    }
+    params, stats = hrnet_ref_from_torch(sd, n_bn=1)
+    model = HRNetBackbone(stages=stages, n_bn=1)
+    xs = [jnp.asarray(x.numpy().transpose(0, 2, 3, 1))]
+    got = model.apply(
+        {"params": params, "batch_stats": stats}, xs, train=False
+    )
+    for bi, (w, gt) in enumerate(zip(want, got)):
+        w0 = w[0].numpy()
+        g0 = np.asarray(gt[0]).transpose(0, 3, 1, 2)
+        assert g0.shape == w0.shape, (bi, g0.shape, w0.shape)
+        np.testing.assert_allclose(g0, w0, atol=5e-4, rtol=1e-3,
+                                   err_msg=f"branch {bi}")

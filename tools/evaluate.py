@@ -28,7 +28,9 @@ def main():
     from mds_tpu.engine.lr_schedule import warmup_poly_lr
     from mds_tpu.engine.trainer import Trainer, build_model
     from mds_tpu.evaluation.evaluator import eval_model
+    from mds_tpu.parallel.mesh import maybe_initialize_distributed
 
+    maybe_initialize_distributed()
     configer = Configer(config_file=args.config, args_parser=args.overrides)
     trainer = Trainer(configer, compute_dtype=jnp.bfloat16)
     if args.ckpt:

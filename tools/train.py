@@ -29,12 +29,45 @@ def main():
     args = ap.parse_args()
 
     from mds_tpu.config import Configer
+    from mds_tpu.parallel.mesh import maybe_initialize_distributed
 
+    maybe_initialize_distributed()
     configer = Configer(config_file=args.config, args_parser=args.overrides)
     if args.max_iter is not None:
         configer.update(["lr", "max_iter"], args.max_iter)
 
-    if args.gnn:
+    mode = configer.get("train", "mode", default=None)
+    if mode == "contrast":
+        import jax
+
+        from mds_tpu.data.loader import get_data_loader
+        from mds_tpu.engine.contrast_trainer import ContrastTrainer
+        from mds_tpu.utils.logger import setup_logger
+        from mds_tpu.utils.meters import AvgMeter, TimeMeter
+
+        logger = setup_logger("mds_tpu_contrast", args.work_dir)
+        trainer = ContrastTrainer(configer, work_dir=args.work_dir)
+        loader = get_data_loader(
+            configer, "train", rank=jax.process_index(), world=jax.process_count()
+        )
+        tm, lm = TimeMeter(trainer.max_iter), AvgMeter()
+        try:
+            for it in range(trainer.max_iter):
+                metrics = trainer.step(next(loader))
+                tm.update()
+                lm.update(metrics["loss"])
+                if (it + 1) % 100 == 0:
+                    t, eta = tm.get()
+                    logger.info(
+                        f"iter {it + 1}/{trainer.max_iter} "
+                        f"loss={lm.get()[0]:.4f} "
+                        f"contrast={metrics['contrast_loss']:.4f} "
+                        f"time={t:.2f} eta={eta}"
+                    )
+        finally:
+            loader.close()
+        trainer.save()
+    elif args.gnn:
         import jax
         import numpy as np
 
