@@ -79,12 +79,139 @@ def gen_graph_node_features(
     flat = [n for ds in class_names for n in ds]
     text = _clip_text_features(flat, clip_model)
     if text is not None:
-        dim_t = text.shape[1]
-        # image half unavailable offline → mirror the text half (unit norm),
-        # keeping the 1024-d layout of the reference cache
-        out = np.concatenate([text, text], axis=1)[:, :nfeat]
+        # image half: averaged CLIP embeddings of class-cropped training
+        # pixels when both CLIP weights and datasets are present
+        # (gen_graph_node_feature.py:192-330); mirror of the text half
+        # otherwise — keeping the 1024-d text‖image layout of the cache
+        image = None
+        if configer is not None:
+            image = _clip_image_features_for_config(configer, clip_model)
+        if image is None:
+            image = text
+        out = np.concatenate([text, image], axis=1)[:, :nfeat]
         if out.shape[1] < nfeat:
             out = np.pad(out, ((0, 0), (0, nfeat - out.shape[1])))
         return out.astype(np.float32)
 
     return np.stack([_hash_feature(n, nfeat) for n in flat])
+
+
+def crop_image_by_label_value(img: np.ndarray, label: np.ndarray,
+                              label_value: int) -> np.ndarray:
+    """Class-crop for CLIP image-feature mining
+    (gen_graph_node_feature.py:192-264): binarize the class mask, 3×3
+    morphological close, take the largest connected component's bbox, crop,
+    gray(128)-fill pixels outside the 5×5-dilated mask, pad to square."""
+    from scipy import ndimage
+
+    binary = (label == label_value).astype(np.uint8)
+    closed = ndimage.binary_closing(binary, structure=np.ones((3, 3)))
+    lbl, n = ndimage.label(closed)
+    if n == 0:
+        return np.zeros_like(img)
+    sizes = ndimage.sum(closed, lbl, index=np.arange(1, n + 1))
+    # largest component by bbox area (reference iterates contour bboxes)
+    best, best_area = None, -1
+    for sl in ndimage.find_objects(lbl):
+        if sl is None:
+            continue
+        area = (sl[0].stop - sl[0].start) * (sl[1].stop - sl[1].start)
+        if area > best_area:
+            best, best_area = sl, area
+    del sizes
+    y0, y1 = best[0].start, best[0].stop
+    x0, x1 = best[1].start, best[1].stop
+    cropped = np.array(img[y0:y1, x0:x1, :])
+    roi = binary[y0:y1, x0:x1].astype(bool)
+    dilated = ndimage.binary_dilation(roi, structure=np.ones((5, 5)))
+    cropped[~dilated] = 128
+    h, w = cropped.shape[:2]
+    if h < w:
+        top = (w - h) // 2
+        cropped = np.pad(cropped, ((top, w - h - top), (0, 0), (0, 0)),
+                         constant_values=128)
+    elif h > w:
+        left = (h - w) // 2
+        cropped = np.pad(cropped, ((0, 0), (left, h - w - left), (0, 0)),
+                         constant_values=128)
+    return cropped
+
+
+def clip_image_features_from_crops(crops, model_name: str
+                                   ) -> Optional[np.ndarray]:
+    """Mean CLIP image embedding of a list of HWC uint8 crops
+    (gen_image_features, ref :264-311). None if CLIP weights absent."""
+    try:
+        import torch
+        from transformers import CLIPModel, CLIPProcessor
+
+        model = CLIPModel.from_pretrained(model_name, local_files_only=True)
+        proc = CLIPProcessor.from_pretrained(model_name, local_files_only=True)
+    except Exception:
+        return None
+    feats = []
+    with torch.no_grad():
+        for c in crops:
+            inputs = proc(images=c, return_tensors="pt")
+            feats.append(model.get_image_features(**inputs))
+        return torch.cat(feats).mean(0, keepdim=True).numpy().astype(
+            np.float32
+        )
+
+
+def _clip_image_features_for_config(configer, model_name: str
+                                    ) -> Optional[np.ndarray]:
+    """Per-class averaged CLIP image features mined from each dataset's
+    training images (get_img_for_everyclass + gen_image_features roles,
+    ref :25-133,264-311). Returns None when CLIP weights or the datasets
+    are absent (zero-egress environments) — the caller falls back to the
+    text half; drop weights + data into the image and this activates with
+    no code changes."""
+    import cv2
+
+    rows = []
+    try:
+        for i in range(configer.n_datasets):
+            cfg_i = configer.dataset_cfg(i)
+            ann = cfg_i.get("train_im_anns")
+            root = cfg_i.get("im_root", ".")
+            if not ann or not os.path.exists(ann):
+                return None
+            from mds_tpu.data.labels import get_spec
+
+            spec = get_spec(cfg_i["spec"]) if cfg_i.get("spec") else None
+            lut = spec.lb_map if spec is not None else None
+            per_class: dict = {}
+            with open(ann) as f:
+                pairs = [ln.strip().split(",") for ln in f if ln.strip()]
+            for imp, lbp in pairs[:200]:  # bounded mining pass
+                img = cv2.imread(os.path.join(root, imp))
+                lb = cv2.imread(os.path.join(root, lbp), 0)
+                if img is None or lb is None:
+                    continue
+                if lut is not None:
+                    lb = np.asarray(lut)[lb]
+                for c in np.unique(lb):
+                    if c == 255 or len(per_class.get(int(c), ())) >= 4:
+                        continue
+                    per_class.setdefault(int(c), []).append(
+                        crop_image_by_label_value(img[:, :, ::-1], lb, int(c))
+                    )
+            for c in range(configer.n_cats(i)):
+                crops = per_class.get(c, [])
+                if not crops:
+                    rows.append(None)
+                    continue
+                feat = clip_image_features_from_crops(crops, model_name)
+                if feat is None:
+                    return None  # no CLIP weights
+                rows.append(feat[0])
+    except Exception:
+        return None
+    if any(r is None for r in rows):
+        dim = next((len(r) for r in rows if r is not None), None)
+        if dim is None:
+            return None
+        rows = [r if r is not None else np.zeros(dim, np.float32)
+                for r in rows]
+    return np.stack(rows) if rows else None

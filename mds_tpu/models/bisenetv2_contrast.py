@@ -69,7 +69,6 @@ class WNClassifier(nn.Module):
         )
 
 
-@MODELS.register("bisenetv2_contrast")
 class BiSeNetV2Contrast(nn.Module):
     """Unified-head BiSeNetV2 with embedding/aux/domain outputs.
 
@@ -158,3 +157,8 @@ class BiSeNetV2Contrast(nn.Module):
 
     def pred(self, x, dataset: int = 0):
         return jnp.argmax(self.eval_logits(x, dataset), axis=-1)
+
+
+@MODELS.register("bisenetv2_contrast")
+def bisenetv2_contrast(configer=None, **kw):
+    return BiSeNetV2Contrast.from_configer(configer, **kw)

@@ -17,6 +17,10 @@ CFG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
     "bisenetv1_city.json",
     "bisenetv2_city_cam_a2d2.json",
     "ltbgnn_7_datasets_snp.json",
+    "ltbgnn_3_datasets_snp.json",
+    "ltbgnn_7_datasets_mseg_snp.json",
+    "hrnet_w48_city.json",
+    "bisenetv2_contrast_3ds.json",
     "test_synthetic.json",
 ])
 def test_config_builds_model(name):

@@ -360,3 +360,35 @@ def test_km_bipartite_match():
     assert gs[0].shape == (3, 4) and gs[1].shape == (2, 4)
     for gg in gs:
         assert (gg.sum(axis=0) == 1).all()
+
+
+def test_crop_image_by_label_value():
+    """Class-crop mining (gen_graph_node_feature.py:192-264): largest
+    component bbox, gray fill outside the dilated mask, square padding."""
+    import numpy as np
+
+    from mds_tpu.data.node_features import crop_image_by_label_value
+
+    img = np.full((20, 30, 3), 7, np.uint8)
+    lb = np.zeros((20, 30), np.uint8)
+    lb[4:10, 5:25] = 3          # big component: 6 x 20 bbox
+    lb[15:17, 1:3] = 3          # small component — must be ignored
+    out = crop_image_by_label_value(img, lb, 3)
+    # padded to square of the larger side (20)
+    assert out.shape[0] == out.shape[1] == 20
+    # interior keeps image pixels; padding rows are gray
+    assert (out[0] == 128).all() and (out[-1] == 128).all()
+    assert (out[10] == 7).any()
+    # absent class → zeros
+    assert (crop_image_by_label_value(img, lb, 9) == 0).all()
+
+
+def test_node_features_offline_fallback_stable():
+    from mds_tpu.data.node_features import gen_graph_node_features
+
+    a = gen_graph_node_features(class_names=[["road", "car"], ["sky"]],
+                                nfeat=32)
+    b = gen_graph_node_features(class_names=[["road", "car"], ["sky"]],
+                                nfeat=32)
+    assert a.shape == (3, 32)
+    np.testing.assert_allclose(a, b)

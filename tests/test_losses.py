@@ -219,3 +219,61 @@ def test_eight_corner_shape_and_values():
     assert float(nb[0, 1, 1, 0, 0]) == 0.0
     # padding at the border
     assert float(nb[0, 0, 0, 0, 0]) == 0.0
+
+
+def test_fs_loss_wrappers():
+    """FS* wrapper family (ref loss_helper.py:342-543) + SegFix."""
+    import jax
+    from mds_tpu.losses.fs import (
+        FSAuxCELoss, FSCELoss, FSCELOVASZLoss, FSOhemCELoss, FSRMILoss,
+        SegFixLoss,
+    )
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 5)), jnp.float32)
+    aux = jnp.asarray(rng.normal(0, 1, (2, 4, 4, 5)), jnp.float32)
+    lb = jnp.asarray(rng.integers(0, 5, (2, 8, 8)), jnp.int32)
+    lb = lb.at[0, 0, 0].set(255)
+
+    ce = FSCELoss()(logits, lb)
+    # parity with torch CE mean over valid pixels
+    import torch
+    import torch.nn.functional as F
+    want = F.cross_entropy(
+        torch.tensor(np.asarray(logits)).permute(0, 3, 1, 2),
+        torch.tensor(np.asarray(lb), dtype=torch.long), ignore_index=255,
+    ).item()
+    assert abs(float(ce) - want) < 1e-5
+
+    # list form with weights; aux label auto-rescaled nearest
+    two = FSCELoss()([logits, aux], lb, weights=[1.0, 0.4])
+    assert np.isfinite(float(two)) and float(two) > float(ce) * 0.3
+
+    assert np.isfinite(float(FSAuxCELoss()( (aux, logits), lb)))
+    assert np.isfinite(float(FSOhemCELoss(thresh=0.7)(logits, lb)))
+    assert np.isfinite(float(FSRMILoss()(logits, lb)))
+    assert np.isfinite(float(FSCELOVASZLoss()(logits, lb)))
+
+    # SegFix: mask + direction
+    pred_mask = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 2)), jnp.float32)
+    pred_dir = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 8)), jnp.float32)
+    seg_lb = jnp.asarray(rng.integers(0, 5, (1, 8, 8)), jnp.int32)
+    dist = jnp.asarray(rng.uniform(0, 10, (1, 8, 8)), jnp.float32)
+    ang = jnp.asarray(rng.uniform(-180, 180, (1, 8, 8)), jnp.float32)
+    sf = SegFixLoss()((pred_mask, pred_dir), (seg_lb, dist, ang))
+    assert np.isfinite(float(sf)) and float(sf) > 0
+
+
+def test_fs_segfix_helpers():
+    from mds_tpu.losses.fs import angle_to_direction_label, distance_to_mask_label
+
+    seg = jnp.asarray([[0, 255], [1, 2]], jnp.int32)
+    dist = jnp.asarray([[1.0, 1.0], [9.0, 4.0]], jnp.float32)
+    m = np.asarray(distance_to_mask_label(dist, seg))
+    np.testing.assert_array_equal(m, [[1, -1], [0, 1]])
+
+    ang = jnp.asarray([[-179.0, 0.0], [0.0, 179.0]], jnp.float32)
+    d = np.asarray(angle_to_direction_label(ang, seg, 8))
+    assert d[0, 1] == -1  # ignore
+    assert d[0, 0] == 0 and d[1, 1] == 7
+    assert d[1, 0] == 4  # 0 deg → sector 4 of 8 ([-180,180) shifted)
