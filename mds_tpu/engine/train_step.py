@@ -56,9 +56,20 @@ def make_seg_train_step(
     ohem_thresh: float = 0.7,
     compute_dtype=jnp.bfloat16,
     donate: bool = True,
+    mesh=None,
+    local_bn: bool = False,
 ) -> Callable:
     """Build the jitted multi-dataset train step for head-based models
     (BiSeNetV1/V2). Returns step_fn(state, ims, lbs, rng) -> (state, metrics).
+
+    local_bn=True (requires mesh): the reference's DEFAULT BN semantics —
+    per-GPU batch moments, no cross-replica sync (use_sync_bn=False,
+    configs/bisenetv2_city.py; DDP does not sync BN unless
+    convert_sync_batchnorm is called). Implemented by shard_mapping the
+    grad computation over the data axis so each shard normalizes with its
+    OWN moments; gradients are pmean'd (= DDP all-reduce) and the running
+    stats are pmean'd across shards for the replicated state. Default
+    (False) keeps global-batch moments (SyncBN — usually better on TPU).
     """
     criteria = OhemCELoss(ohem_thresh)
     means = [jnp.asarray(m, jnp.float32) for m in means]
@@ -89,11 +100,42 @@ def make_seg_train_step(
         metrics["loss"] = total
         return total, (mut["batch_stats"], metrics)
 
+    grad_fn = jax.grad(loss_fn, has_aux=True)
+    if local_bn:
+        assert mesh is not None, "local_bn needs the data mesh"
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def local_grad(params, batch_stats, ims, lbs, rng):
+            grads, (new_stats, metrics) = grad_fn(
+                params, batch_stats, ims, lbs, rng
+            )
+            # DDP grad all-reduce; running stats averaged across shards for
+            # the replicated state (normalization already used LOCAL moments)
+            grads = jax.lax.pmean(grads, "data")
+            new_stats = jax.lax.pmean(new_stats, "data")
+            metrics = jax.lax.pmean(metrics, "data")
+            return grads, new_stats, metrics
+
+        compute_grads = shard_map(
+            local_grad, mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data"), P()),
+            out_specs=P(),
+            check_rep=False,
+        )
+    else:
+        compute_grads = grad_fn
+
     def step_fn(state: TrainState, ims, lbs, rng):
         rng = jax.random.fold_in(rng, state.step)
-        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, ims, lbs, rng
-        )
+        if local_bn:
+            grads, new_stats, metrics = compute_grads(
+                state.params, state.batch_stats, ims, lbs, rng
+            )
+        else:
+            grads, (new_stats, metrics) = compute_grads(
+                state.params, state.batch_stats, ims, lbs, rng
+            )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return (

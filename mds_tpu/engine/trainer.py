@@ -97,10 +97,16 @@ class Trainer:
         self.state = replicate(self.state, self.mesh)
 
         means, stds = dataset_stats(configer)
+        # use_sync_bn=False (the reference's default, configs/bisenetv2_city
+        # .py) selects per-device local BN moments via shard_map; our default
+        # is True (global-batch SyncBN — free under a sharded batch)
+        sync_bn = configer.get("use_sync_bn", default=True)
         self.step_fn = make_seg_train_step(
             self.model, self.tx, means, stds,
             ohem_thresh=float(configer.get("loss", "ohem_thresh", default=0.7)),
             compute_dtype=compute_dtype,
+            mesh=self.mesh,
+            local_bn=not sync_bn,
         )
         self.ckpt = CheckpointManager(
             f"{work_dir}/ckpt",

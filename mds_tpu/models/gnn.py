@@ -354,6 +354,236 @@ def gumbel_max_graphs(block, dataset_cats, tau, rng) -> List[jax.Array]:
     return out
 
 
+class AttentionalPropagation(nn.Module):
+    """Masked multi-head attention message passing (SuperGlue-style MPA used
+    by Self_Attention_GNN, graph_attention_network.py:268-270,300-309):
+    message = MHA(q=x, k=v=source, mask=adj>0); out = MLP([x ∥ message])."""
+
+    features: int
+    nheads: int = 4
+
+    @nn.compact
+    def __call__(self, x, source, adj):
+        h = self.nheads
+        d = max(self.features // h, 1)
+        q = nn.Dense(h * d, name="q")(x).reshape(-1, h, d)
+        k = nn.Dense(h * d, name="k")(source).reshape(-1, h, d)
+        v = nn.Dense(h * d, name="v")(source).reshape(-1, h, d)
+        logits = jnp.einsum("nhd,mhd->hnm", q, k) / jnp.sqrt(d)
+        logits = jnp.where(adj[None] > 0, logits, -1e9)
+        att = jax.nn.softmax(logits, axis=-1)
+        msg = jnp.einsum("hnm,mhd->nhd", att, v).reshape(-1, h * d)
+        return nn.Dense(self.features, name="mlp")(
+            jnp.concatenate([x, msg], axis=-1)
+        )
+
+
+def fixed_block_adjacency(dataset_cats: Sequence[int], M: int) -> jax.Array:
+    """The Self_Attention_GNN fixed adjacency (init_adjacency_matrix,
+    graph_attention_network.py:374-420): unified rows/cols fully connected,
+    per-dataset identity sub-blocks on the bipartite diagonal, identity
+    within each side; symmetrically normalized D^-1/2 A D^-1/2."""
+    import numpy as np
+
+    T = int(sum(dataset_cats))
+    A = np.zeros((T + M, T + M), np.float32)
+    A[T:, :] = 1.0
+    A[:, T:] = 1.0
+    cur = 0
+    for c in dataset_cats:
+        A[cur:cur + c, T + cur:T + cur + c] = np.eye(c)
+        A[T + cur:T + cur + c, cur:cur + c] = np.eye(c)
+        cur += c
+    A[:T, :T] = np.eye(T)
+    A[T:, T:] = np.eye(M)
+    r = A.sum(1)
+    r_inv_sqrt = np.where(r > 0, r ** -0.5, 0.0)
+    return jnp.asarray(r_inv_sqrt[:, None] * A * r_inv_sqrt[None, :])
+
+
+class SelfAttentionGNN(nn.Module):
+    """Dense attention variant (Self_Attention_GNN,
+    graph_attention_network.py:244-420): fixed normalized block adjacency,
+    two AttentionalPropagation layers with residual, bipartite graphs from
+    an arch-feature similarity softmax (τ=0.05, calc_bipartite_graph
+    :316-357); `pretrain=True` returns the identity graphs (the
+    fix_architecture_alter_iter gate's early phase)."""
+
+    dataset_cats: Sequence[int]
+    nfeat: int = 1024
+    nfeat_out: int = 512
+    nheads: int = 4
+    adj_feat_dim: int = 256
+    output_feat_dim: int = 512
+    unify_ratio: float = 1.0
+    dropout_rate: float = 0.5
+
+    @property
+    def total_cats(self) -> int:
+        return int(sum(self.dataset_cats))
+
+    @property
+    def max_num_unify_class(self) -> int:
+        return int(self.unify_ratio * self.total_cats)
+
+    @classmethod
+    def from_configer(cls, configer, **kw):
+        n = configer.n_datasets
+        g = lambda *k, d=None: configer.get(*k, default=d)
+        return cls(
+            dataset_cats=tuple(configer.n_cats(i) for i in range(n)),
+            nfeat=int(g("GNN", "nfeat", d=1024)),
+            nfeat_out=int(g("GNN", "nfeat_out", d=512)),
+            nheads=int(g("GNN", "nheads", d=4)),
+            adj_feat_dim=int(g("GNN", "adj_feat_dim", d=256)),
+            output_feat_dim=int(g("GNN", "output_feat_dim", d=512)),
+            unify_ratio=float(g("GNN", "unify_ratio", d=1.0)),
+            dropout_rate=float(g("GNN", "dropout_rate", d=0.5)),
+            **kw,
+        )
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True, pretrain: bool = False):
+        T, M = self.total_cats, self.max_num_unify_class
+        unify = self.param(
+            "unify_node_features", nn.initializers.truncated_normal(0.02),
+            (M, self.nfeat), jnp.float32,
+        )
+        adj = fixed_block_adjacency(self.dataset_cats, M)
+        x = jnp.concatenate([x, unify], axis=0)
+        x = nn.relu(nn.Dense(self.nfeat_out, name="linear_before")(x))
+        drop = nn.Dropout(self.dropout_rate, deterministic=not train)
+        x = drop(x)
+        feat = AttentionalPropagation(
+            self.nfeat_out, self.nheads, name="attn1"
+        )(x, x, adj)
+        x = drop(feat)
+        x = nn.elu(
+            AttentionalPropagation(self.nfeat_out, self.nheads, name="attn2")(
+                x, x, adj
+            ) + x
+        )
+        proto = nn.Dense(self.output_feat_dim, name="linear1")(x)
+        arch = nn.Dense(self.adj_feat_dim, name="arch_linear")(nn.relu(x))
+        if pretrain:
+            from mds_tpu.ops.uot_match import pretrain_bipartite_graphs
+
+            graphs = [jnp.asarray(g)
+                      for g in pretrain_bipartite_graphs(self.dataset_cats, M)]
+        else:
+            uf = arch[T:]
+            graphs = []
+            cur = 0
+            for c in self.dataset_cats:
+                sim = jnp.einsum("nc,mc->nm", arch[cur:cur + c], uf)
+                graphs.append(jax.nn.softmax(sim / 0.05, axis=0))
+                cur += c
+        return {"unify_prototype": proto[T:], "bi_graphs": graphs}
+
+
+class LearnableTopologyGAT(nn.Module):
+    """GAT with learned adjacency (Learnable_Topology_GAT,
+    graph_attention_network.py:670-860): cosine adjacency over adj features,
+    nheads GAT layers (concat + residual), out-attention with elu residual,
+    bipartite graphs = per-dataset softmax(raw block / 0.07)."""
+
+    dataset_cats: Sequence[int]
+    nfeat: int = 1024
+    nfeat_out: int = 512
+    nfeat_adj: int = 256
+    nhid: int = 128
+    nheads: int = 4
+    output_feat_dim: int = 512
+    unify_ratio: float = 1.0
+    dropout_rate: float = 0.5
+    temperature: float = 0.07
+
+    @property
+    def total_cats(self) -> int:
+        return int(sum(self.dataset_cats))
+
+    @property
+    def max_num_unify_class(self) -> int:
+        return int(self.unify_ratio * self.total_cats)
+
+    @classmethod
+    def from_configer(cls, configer, **kw):
+        n = configer.n_datasets
+        g = lambda *k, d=None: configer.get(*k, default=d)
+        return cls(
+            dataset_cats=tuple(configer.n_cats(i) for i in range(n)),
+            nfeat=int(g("GNN", "nfeat", d=1024)),
+            nfeat_out=int(g("GNN", "nfeat_out", d=512)),
+            nfeat_adj=int(g("GNN", "nfeat_adj", d=256)),
+            nhid=int(g("GNN", "nhid", d=128)),
+            nheads=int(g("GNN", "nheads", d=4)),
+            output_feat_dim=int(g("GNN", "output_feat_dim", d=512)),
+            unify_ratio=float(g("GNN", "unify_ratio", d=1.0)),
+            dropout_rate=float(g("GNN", "dropout_rate", d=0.5)),
+            **kw,
+        )
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        T, M = self.total_cats, self.max_num_unify_class
+        unify = self.param(
+            "unify_node_features", nn.initializers.truncated_normal(0.02),
+            (M, self.nfeat), jnp.float32,
+        )
+        x = jnp.concatenate([x, unify], axis=0)
+        x = nn.Dense(self.nfeat_out, name="linear_before")(x)
+        # learned cosine adjacency (calc_adjacency_matrix pattern)
+        af = nn.Dense(self.nfeat_adj, name="linear_adj")(x)
+        nf = af / jnp.maximum(jnp.linalg.norm(af, axis=1, keepdims=True), 1e-12)
+        sim = nf @ nf.T
+        block_raw = sim[:T, T:]
+        blocks = []
+        cur = 0
+        for c in self.dataset_cats:
+            blocks.append(
+                jax.nn.softmax(block_raw[cur:cur + c] / self.temperature, axis=0)
+            )
+            cur += c
+        block = jnp.concatenate(blocks, axis=0)
+        upper = jnp.concatenate([jnp.zeros((T, T)), block], axis=1)
+        lower = jnp.concatenate([block.T, jnp.zeros((M, M))], axis=1)
+        adj = normalize_adj(jnp.concatenate([upper, lower], axis=0))
+
+        x = nn.relu(x)
+        heads = [
+            GATLayer(self.nhid, name=f"att1_{h}")(x, adj)
+            for h in range(self.nheads)
+        ]
+        feat = jnp.concatenate(heads, axis=1)
+        if feat.shape[-1] == x.shape[-1]:
+            x = feat + x
+        else:
+            x = feat
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        out = GATLayer(x.shape[-1], name="out_att")(x, adj)
+        x = nn.elu(out + x)
+        proto = nn.Dense(self.output_feat_dim, name="linear1")(x)
+        graphs = []
+        cur = 0
+        for c in self.dataset_cats:
+            graphs.append(
+                jax.nn.softmax(block_raw[cur:cur + c] / 0.07, axis=0)
+            )
+            cur += c
+        return {"unify_prototype": proto[T:], "bi_graphs": graphs,
+                "adj_block": block_raw}
+
+
+@MODELS.register("self_attention_GNN")
+def self_attention_gnn(configer=None, **kw):
+    return SelfAttentionGNN.from_configer(configer, **kw)
+
+
+@MODELS.register("learnable_topology_GAT")
+def learnable_topology_gat(configer=None, **kw):
+    return LearnableTopologyGAT.from_configer(configer, **kw)
+
+
 @MODELS.register("learnable_topology_BGNN_adj")
 def ltbgnn_adj(configer=None, **kw):
     return LearnableTopologyBGNN.from_configer(configer, adj_mode="direct", **kw)

@@ -392,3 +392,59 @@ def test_node_features_offline_fallback_stable():
                                 nfeat=32)
     assert a.shape == (3, 32)
     np.testing.assert_allclose(a, b)
+
+
+def test_self_attention_gnn_forward():
+    """Self_Attention_GNN fork (graph_attention_network.py:244-420)."""
+    from mds_tpu.models.gnn import SelfAttentionGNN, fixed_block_adjacency
+
+    cats = (3, 4)
+    m = SelfAttentionGNN(dataset_cats=cats, nfeat=16, nfeat_out=16,
+                         adj_feat_dim=8, output_feat_dim=8, nheads=2)
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (7, 16)), jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+               x, train=False)
+    out = m.apply(v, x, train=False)
+    assert out["unify_prototype"].shape == (7, 8)
+    assert len(out["bi_graphs"]) == 2
+    assert out["bi_graphs"][0].shape == (3, 7)
+    np.testing.assert_allclose(
+        np.asarray(out["bi_graphs"][0]).sum(0), 1.0, atol=1e-5
+    )
+    # pretrain mode → identity graphs
+    out_p = m.apply(v, x, train=False, pretrain=True)
+    np.testing.assert_array_equal(
+        np.asarray(out_p["bi_graphs"][0]), np.eye(3, 7)
+    )
+    # fixed adjacency is symmetric + normalized, bipartite identity blocks
+    A = np.asarray(fixed_block_adjacency(cats, 7))
+    np.testing.assert_allclose(A, A.T, atol=1e-6)
+    assert A[0, 7] > 0 and A[0, 8] == 0  # identity sub-block row 0
+
+
+def test_learnable_topology_gat_forward():
+    """Learnable_Topology_GAT fork (graph_attention_network.py:670-860)."""
+    from mds_tpu.models.gnn import LearnableTopologyGAT
+
+    cats = (3, 4)
+    m = LearnableTopologyGAT(dataset_cats=cats, nfeat=16, nfeat_out=16,
+                             nfeat_adj=8, nhid=8, nheads=2,
+                             output_feat_dim=8)
+    x = jnp.asarray(np.random.default_rng(1).normal(0, 1, (7, 16)), jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+               x, train=False)
+    out = m.apply(v, x, train=False)
+    assert out["unify_prototype"].shape == (7, 8)
+    assert out["adj_block"].shape == (7, 7)
+    np.testing.assert_allclose(
+        np.asarray(out["bi_graphs"][1]).sum(0), 1.0, atol=1e-5
+    )
+    # differentiable end-to-end
+    def loss(p):
+        o = m.apply({"params": p}, x, train=False)
+        return jnp.sum(o["unify_prototype"] ** 2) + sum(
+            jnp.sum(g) for g in o["bi_graphs"]
+        )
+    g = jax.grad(loss)(v["params"])
+    leaf = jax.tree_util.tree_leaves(g)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
