@@ -279,3 +279,75 @@ def test_hrnet_backbone_forward_matches_reference():
         assert g0.shape == w0.shape, (bi, g0.shape, w0.shape)
         np.testing.assert_allclose(g0, w0, atol=5e-4, rtol=1e-3,
                                    err_msg=f"branch {bi}")
+
+
+def test_gnn_bgnn_adj_forward_matches_reference():
+    """LearnableTopologyBGNN (direct adjacency) vs the reference's
+    Learnable_Topology_BGNN_adj (lib/models/ltbgnn_direct_learn.py:180-377)
+    in eval mode: prototypes and softmax bipartite graphs must match."""
+    import types
+
+    ref = import_ref_package_module("lib.models.ltbgnn_direct_learn")
+    sys.modules["ot"].unif = lambda n: np.ones(n) / n
+    from mds_tpu.models.gnn import LearnableTopologyBGNN
+
+    cats = (3, 4)
+    cfg = DictConfiger({
+        "n_datasets": 2,
+        "dataset1": {"n_cats": 3},
+        "dataset2": {"n_cats": 4},
+        "loss": {"with_datasets_aux": False},
+        "GNN": {
+            "nfeat": 16, "nfeat_out": 16, "nfeat_adj": 8, "nhid": 8,
+            "att_out_dim": 8, "alpha": 0.2, "nheads": 2, "adj_feat_dim": 8,
+            "output_feat_dim": 8, "dropout_rate": 0.5, "threshold_value": 0.5,
+            "fix_architecture_alter_iter": 1000, "calc_bipartite": False,
+            "output_max_adj": True, "output_softmax_and_max_adj": True,
+            "uot_ratio": 1.0, "mse_or_adv": "None", "GNN_type": "GSAGE",
+            "init_by_eval": False, "unify_ratio": 1.0, "GumbelSoftmax": False,
+        },
+    })
+    torch.manual_seed(0)
+    net = ref.Learnable_Topology_BGNN_adj(cfg).eval()
+    # keep POT (stubbed) off the path: pre-seed the uot state so the
+    # periodic uot_update counter skips the solve (ref :362-371)
+    net.uot_update = 5
+    net.uot_bi = [torch.zeros(c, 7) for c in cats]
+    sd = {k: v for k, v in net.state_dict().items()}
+
+    g = torch.Generator().manual_seed(1)
+    x = torch.randn(7, 16, generator=g)
+    with torch.no_grad():
+        proto, graphs, _, _ = net(x)
+    want_soft = [graphs[1].numpy(), graphs[3].numpy()]
+    want_proto = proto.numpy()
+
+    model = LearnableTopologyBGNN(
+        dataset_cats=cats, nfeat=16, nfeat_out=16, nfeat_adj=8,
+        output_feat_dim=8, unify_ratio=1.0, dropout_rate=0.5,
+        gnn_type="GSAGE", adj_mode="direct",
+    )
+    lin = lambda k: {"kernel": _np_t(sd[f"{k}.weight"]).T,
+                     "bias": _np_t(sd[f"{k}.bias"])}
+    params = {
+        "linear_before": lin("linear_before"),
+        "linear_adj": lin("linear_adj"),
+        "linear1": lin("linear1"),
+        "unify_node_features": _np_t(sd["unify_node_features"]),
+        "adj_matrix": _np_t(sd["adj_matrix"]),
+    }
+    for k in range(4):
+        params[f"gcn_layers_{k}"] = {
+            "weight": _np_t(sd[f"GCN_layer{k + 1}.gc1.weight"]),
+            "bias": _np_t(sd[f"GCN_layer{k + 1}.gc1.bias"]),
+        }
+    out = model.apply({"params": params}, jnp.asarray(x.numpy()), train=False)
+    np.testing.assert_allclose(
+        np.asarray(out["unify_prototype"]), want_proto, atol=2e-5, rtol=1e-4
+    )
+    for got, want in zip(out["bi_graphs"], want_soft):
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+
+def _np_t(t):
+    return t.detach().cpu().numpy().astype(np.float32)
