@@ -122,7 +122,7 @@ def normalize_adj(mx: jax.Array) -> jax.Array:
 
 
 class LearnableTopologyBGNN(nn.Module):
-    """Both BGNN variants behind one module; `adj_mode` selects them.
+    """The BGNN variants behind one module; `adj_mode` selects them.
 
     forward returns dict(unify_prototype, bi_graphs, adv_pairs, adj_block,
     ret_feats): bi_graphs is the per-dataset list of **softmax** graphs (the
@@ -130,6 +130,17 @@ class LearnableTopologyBGNN(nn.Module):
     from `adj_block` via uot_match or max-masking (see
     mds_tpu.engine.gnn_trainer) because it is non-differentiable host logic
     in the reference too (detached uot_bi, ltbgnn_direct_learn.py:367-377).
+
+    Research-fork coverage (reference lib/models/ltbgnn_*.py):
+      * adj_mode='direct'       — (T, M) adjacency param (ltbgnn_direct_learn)
+      * adj_mode='direct_full'  — full (T+M)² adjacency param, cross-blocks
+                                  masked (ltbgnn_direct_learn3 / ltbgnn_sfg)
+      * adj_mode='cosine'       — cosine similarity of adj features
+      * n_gcn_layers=3          — the SFG fork's shallower stack
+      * with_unlabel=True       — one extra learnable 'unlabeled' node per
+                                  dataset, appended to its class block
+                                  (ltbgnn_unlabel.py:107-139); bipartite
+                                  blocks then have n_cats_i+1 rows
     """
 
     dataset_cats: Sequence[int]
@@ -140,11 +151,25 @@ class LearnableTopologyBGNN(nn.Module):
     unify_ratio: float = 1.0
     dropout_rate: float = 0.5
     gnn_type: str = "GSAGE"  # or "GCN"
-    adj_mode: str = "direct"  # or "cosine"
+    adj_mode: str = "direct"  # "direct" | "direct_full" | "cosine"
     mse_or_adv: str = "None"  # "mse" | "adv" | "None"
     with_datasets_aux: bool = False
     init_stage: bool = False  # direct mode: raw adjacency (no softmax)
     temperature: float = 0.07
+    n_gcn_layers: int = 4  # SFG fork uses 3 (ltbgnn_sfg.py)
+    with_unlabel: bool = False  # ltbgnn_unlabel: +1 node per dataset
+
+    @property
+    def eff_cats(self) -> Tuple[int, ...]:
+        """Per-dataset graph-node counts (+1 unlabeled node when enabled)."""
+        if self.with_unlabel:
+            return tuple(c + 1 for c in self.dataset_cats)
+        return tuple(self.dataset_cats)
+
+    @property
+    def total_nodes(self) -> int:
+        """Dataset-side node count (incl. unlabeled nodes)."""
+        return int(sum(self.eff_cats))
 
     @property
     def total_cats(self) -> int:
@@ -179,18 +204,27 @@ class LearnableTopologyBGNN(nn.Module):
         )
 
     def setup(self):
-        T, M = self.total_cats, self.max_num_unify_class
+        T, M = self.total_nodes, self.max_num_unify_class
         self.linear_before = nn.Dense(self.nfeat_out)
         self.linear_adj = nn.Dense(self.nfeat_adj)
         self.linear1 = nn.Dense(self.output_feat_dim)
         layer_cls = {"GSAGE": GSAGELayer, "GCN": GCNLayer, "GAT": GATLayer}[
             self.gnn_type
         ]
-        self.gcn_layers = [layer_cls(self.nfeat_out) for _ in range(4)]
+        self.gcn_layers = [
+            layer_cls(self.nfeat_out) for _ in range(self.n_gcn_layers)
+        ]
         self.unify_node_features = self.param(
             "unify_node_features", nn.initializers.truncated_normal(0.02),
             (M, self.nfeat), jnp.float32,
         )
+        if self.with_unlabel:
+            # one learnable 'unlabeled' node per dataset
+            # (ltbgnn_unlabel.py:107-110)
+            self.unlabel_node_features = self.param(
+                "unlabel_node_features", nn.initializers.truncated_normal(0.02),
+                (len(self.dataset_cats), self.nfeat), jnp.float32,
+            )
         if self.adj_mode == "direct":
             # torch.rand init (ltbgnn_direct_learn.py:256)
             self.adj_matrix = self.param(
@@ -198,16 +232,27 @@ class LearnableTopologyBGNN(nn.Module):
                 lambda k, s: jax.random.uniform(k, s, jnp.float32, 0.0, 1.0),
                 (T, M),
             )
+        elif self.adj_mode == "direct_full":
+            # full-square adjacency param; only the bipartite cross blocks
+            # survive the mask (ltbgnn_direct_learn3 / ltbgnn_sfg)
+            self.adj_matrix = self.param(
+                "adj_matrix",
+                lambda k, s: jax.random.uniform(k, s, jnp.float32, 0.0, 1.0),
+                (T + M, T + M),
+            )
         if self.mse_or_adv == "adv":
-            self.netD = [Discriminator(dropout=self.dropout_rate) for _ in range(4)]
+            self.netD = [
+                Discriminator(dropout=self.dropout_rate)
+                for _ in range(self.n_gcn_layers)
+            ]
 
     # ---------------------------------------------------------------- adjacency
     def _softmax_blocks(self, block: jax.Array) -> jax.Array:
         """Per-dataset softmax(τ) over the dataset-class axis of the
-        (total_cats, M) bipartite block."""
+        (total_nodes, M) bipartite block."""
         outs = []
         cur = 0
-        for c in self.dataset_cats:
+        for c in self.eff_cats:
             outs.append(jax.nn.softmax(block[cur : cur + c] / self.temperature, axis=0))
             cur += c
         return jnp.concatenate(outs, axis=0)
@@ -215,9 +260,14 @@ class LearnableTopologyBGNN(nn.Module):
     def calc_adjacency(self, feat1: jax.Array):
         """→ (norm_adj (T+M,T+M), bipartite_block (T,M) post-softmax,
         adj_feat or None)."""
-        T, M = self.total_cats, self.max_num_unify_class
+        T, M = self.total_nodes, self.max_num_unify_class
         if self.adj_mode == "direct":
             block = self.adj_matrix
+            if not self.init_stage:
+                block = self._softmax_blocks(block)
+            adj_feat = None
+        elif self.adj_mode == "direct_full":
+            block = self.adj_matrix[:T, T:]
             if not self.init_stage:
                 block = self._softmax_blocks(block)
             adj_feat = None
@@ -236,7 +286,17 @@ class LearnableTopologyBGNN(nn.Module):
     # ---------------------------------------------------------------- forward
     def __call__(self, x: jax.Array, *, train: bool = True):
         """x: (total_cats, nfeat) dataset class-node features."""
-        T = self.total_cats
+        T = self.total_nodes
+        if self.with_unlabel:
+            # interleave each dataset's class nodes with its unlabeled node
+            # (ltbgnn_unlabel.py:135-141)
+            parts = []
+            cur = 0
+            for i, c in enumerate(self.dataset_cats):
+                parts.append(x[cur : cur + c])
+                parts.append(self.unlabel_node_features[i : i + 1])
+                cur += c
+            x = jnp.concatenate(parts, axis=0)
         input_x = jnp.concatenate([x, self.unify_node_features], axis=0)
         feat1 = self.linear_before(input_x)
         adj, block, adj_feat = self.calc_adjacency(feat1)
@@ -278,11 +338,11 @@ class LearnableTopologyBGNN(nn.Module):
         return out
 
     def sep_bipartite_graphs(self, block: jax.Array) -> List[jax.Array]:
-        """Per-dataset softmax graphs (n_cats_i, M); the max/discrete variants
-        are composed outside (max_mask_graphs / uot)."""
+        """Per-dataset softmax graphs (eff_cats_i, M); the max/discrete
+        variants are composed outside (max_mask_graphs / uot)."""
         out = []
         cur = 0
-        for c in self.dataset_cats:
+        for c in self.eff_cats:
             out.append(block[cur : cur + c])
             cur += c
         return out
@@ -592,3 +652,27 @@ def ltbgnn_adj(configer=None, **kw):
 @MODELS.register("learnable_topology_BGNN")
 def ltbgnn(configer=None, **kw):
     return LearnableTopologyBGNN.from_configer(configer, adj_mode="cosine", **kw)
+
+
+@MODELS.register("learnable_topology_BGNN_unlabel")
+def ltbgnn_unlabel(configer=None, **kw):
+    """ltbgnn_unlabel.py fork: +1 learnable unlabeled node per dataset."""
+    kw.setdefault("with_unlabel", True)
+    return LearnableTopologyBGNN.from_configer(configer, adj_mode="direct", **kw)
+
+
+@MODELS.register("learnable_topology_BGNN_sfg")
+def ltbgnn_sfg(configer=None, **kw):
+    """ltbgnn_sfg.py fork: full-square adjacency param, 3 GCN layers."""
+    kw.setdefault("n_gcn_layers", 3)
+    return LearnableTopologyBGNN.from_configer(
+        configer, adj_mode="direct_full", **kw
+    )
+
+
+@MODELS.register("learnable_topology_BGNN_adj3")
+def ltbgnn_adj3(configer=None, **kw):
+    """ltbgnn_direct_learn3.py fork: full-square masked adjacency param."""
+    return LearnableTopologyBGNN.from_configer(
+        configer, adj_mode="direct_full", **kw
+    )

@@ -448,3 +448,35 @@ def test_learnable_topology_gat_forward():
     g = jax.grad(loss)(v["params"])
     leaf = jax.tree_util.tree_leaves(g)[0]
     assert np.isfinite(np.asarray(leaf)).all()
+
+
+@pytest.mark.parametrize("kw,blocks", [
+    (dict(adj_mode="direct_full"), (3, 4)),           # ltbgnn_direct_learn3
+    (dict(adj_mode="direct_full", n_gcn_layers=3), (3, 4)),  # ltbgnn_sfg
+    (dict(adj_mode="direct", with_unlabel=True), (4, 5)),    # ltbgnn_unlabel
+])
+def test_bgnn_fork_variants(kw, blocks):
+    """Research forks as options (ltbgnn_direct_learn3 / _sfg / _unlabel)."""
+    from mds_tpu.models.gnn import LearnableTopologyBGNN
+
+    cats = (3, 4)
+    m = LearnableTopologyBGNN(
+        dataset_cats=cats, nfeat=16, nfeat_out=16, nfeat_adj=8,
+        output_feat_dim=8, unify_ratio=1.0, dropout_rate=0.0, **kw,
+    )
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (7, 16)), jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+               x, train=False)
+    out = m.apply(v, x, train=False)
+    M = m.max_num_unify_class
+    assert M == 7  # unify from true cats, not graph nodes
+    assert out["unify_prototype"].shape == (M, 8)
+    for g, c in zip(out["bi_graphs"], blocks):
+        assert g.shape == (c, M), (g.shape, c)
+        np.testing.assert_allclose(np.asarray(g).sum(0), 1.0, atol=1e-5)
+    if kw.get("adj_mode") == "direct_full":
+        assert v["params"]["adj_matrix"].shape == (14, 14)
+    if kw.get("with_unlabel"):
+        assert v["params"]["unlabel_node_features"].shape == (2, 16)
+    if "n_gcn_layers" in kw:
+        assert "gcn_layers_3" not in v["params"]
