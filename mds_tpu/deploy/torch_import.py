@@ -402,6 +402,38 @@ def hrnet_backbone_from_torch(
     return p, s
 
 
+def resnet18_torchvision_to_resnet(state: Mapping) -> Tuple[Dict, Dict]:
+    """torchvision ResNet18 state_dict → mds_tpu.models.resnet.Resnet18
+    (the BiSeNetV1 trunk; reference lib/models/resnet.py:9 hub-loads the
+    same checkpoint). Returns (params, batch_stats) subtrees; fc.* dropped.
+    """
+    p: Dict = {}
+    s: Dict = {}
+
+    def bn(ours: str, theirs: str):
+        _set(p, f"{ours}/scale", _np(state[f"{theirs}.weight"]))
+        _set(p, f"{ours}/bias", _np(state[f"{theirs}.bias"]))
+        _set(s, f"{ours}/mean", _np(state[f"{theirs}.running_mean"]))
+        _set(s, f"{ours}/var", _np(state[f"{theirs}.running_var"]))
+
+    _set(p, "conv1/kernel", _conv_w(state["conv1.weight"]))
+    bn("bn1", "bn1")
+    for li in range(1, 5):
+        b = 0
+        while f"layer{li}.{b}.conv1.weight" in state:
+            t, o = f"layer{li}.{b}", f"layer{li}_{b}"
+            _set(p, f"{o}/conv1/kernel", _conv_w(state[f"{t}.conv1.weight"]))
+            _set(p, f"{o}/conv2/kernel", _conv_w(state[f"{t}.conv2.weight"]))
+            bn(f"{o}/bn1", f"{t}.bn1")
+            bn(f"{o}/bn2", f"{t}.bn2")
+            if f"{t}.downsample.0.weight" in state:
+                _set(p, f"{o}/downsample_conv/kernel",
+                     _conv_w(state[f"{t}.downsample.0.weight"]))
+                bn(f"{o}/downsample_bn", f"{t}.downsample.1")
+            b += 1
+    return p, s
+
+
 def hrnet_ref_from_torch(state: Mapping, n_bn: int = 1) -> Tuple[Dict, Dict]:
     """Reference multi-dataset HRNet layout (lib/models/HRNet_backbone.py,
     ConvBNReLU blocks from lib/module/module_helper.py:63-220: `X.conv.

@@ -142,10 +142,25 @@ class Trainer:
                 "conv1.weight" in sd and "layer1.0.conv1.weight" in sd
                 and "detail.S1_1.conv.weight" not in sd
             ):
-                # torchvision ImageNet ResNet18 → SwiftNet trunk graft
-                tp, ts = ti.resnet18_torchvision_to_swiftnet(sd)
+                # torchvision ImageNet ResNet18 → trunk graft: BiSeNetV1's
+                # ContextPath resnet (cp/resnet) or SwiftNet's backbone
                 v = {"params": dict(self.state.params),
                      "batch_stats": dict(self.state.batch_stats)}
+                if "cp" in v["params"] and "resnet" in v["params"]["cp"]:
+                    tp, ts = ti.resnet18_torchvision_to_resnet(sd)
+                    v = ti.merge_subtree(v, tp, "params", "cp", "resnet")
+                    v = ti.merge_subtree(v, ts, "batch_stats", "cp", "resnet")
+                    self.state = self.state.replace(
+                        params=jax.tree_util.tree_map(
+                            jnp.asarray, v["params"]
+                        ),
+                        batch_stats=jax.tree_util.tree_map(
+                            jnp.asarray, v["batch_stats"]
+                        ),
+                    )
+                    self.logger.info(f"finetuning from {path}")
+                    return
+                tp, ts = ti.resnet18_torchvision_to_swiftnet(sd)
                 sub = "backbone" if "backbone" in v["params"] else None
                 v = ti.merge_subtree(
                     v, tp, *( ("params", sub) if sub else ("params",))

@@ -132,3 +132,97 @@ def test_resnet18_torchvision_import_shapes_and_run():
     v2 = merge_subtree(v2, ts, "batch_stats")
     out = model.apply(v2, [x], train=False)
     assert np.isfinite(np.asarray(out[0], np.float32)).all()
+
+
+def _fake_torchvision_resnet18_sd(seed=0):
+    rng = np.random.default_rng(seed)
+    state = {"fc.weight": rng.normal(0, 0.1, (1000, 512)).astype(np.float32)}
+
+    def bn(prefix, c):
+        state[f"{prefix}.weight"] = rng.normal(1, 0.1, (c,)).astype(np.float32)
+        state[f"{prefix}.bias"] = rng.normal(0, 0.1, (c,)).astype(np.float32)
+        state[f"{prefix}.running_mean"] = rng.normal(0, 0.1, (c,)).astype(np.float32)
+        state[f"{prefix}.running_var"] = rng.uniform(0.5, 1.5, (c,)).astype(np.float32)
+
+    state["conv1.weight"] = rng.normal(0, 0.1, (64, 3, 7, 7)).astype(np.float32)
+    bn("bn1", 64)
+    chans = {1: 64, 2: 128, 3: 256, 4: 512}
+    for li in range(1, 5):
+        cin = chans[li] if li == 1 else chans[li - 1]
+        for b in range(2):
+            t, c = f"layer{li}.{b}", chans[li]
+            state[f"{t}.conv1.weight"] = rng.normal(
+                0, 0.1, (c, cin if b == 0 else c, 3, 3)).astype(np.float32)
+            state[f"{t}.conv2.weight"] = rng.normal(0, 0.1, (c, c, 3, 3)).astype(np.float32)
+            bn(f"{t}.bn1", c)
+            bn(f"{t}.bn2", c)
+            if li > 1 and b == 0:
+                state[f"{t}.downsample.0.weight"] = rng.normal(
+                    0, 0.1, (c, cin, 1, 1)).astype(np.float32)
+                bn(f"{t}.downsample.1", c)
+    return state
+
+
+def test_resnet18_torchvision_to_bisenetv1_trunk():
+    """ImageNet resnet18 → models/resnet.py Resnet18 (BiSeNetV1 ContextPath
+    trunk; ref lib/models/resnet.py:9). Shapes must match every slot and the
+    forward must be driven by the imported stats."""
+    import torch
+
+    from mds_tpu.deploy.torch_import import resnet18_torchvision_to_resnet
+    from mds_tpu.models.resnet import Resnet18
+
+    state = _fake_torchvision_resnet18_sd()
+    model = Resnet18()
+    x = jnp.asarray(np.random.default_rng(1).normal(0, 1, (1, 64, 64, 3)),
+                    jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    v = jax.tree_util.tree_map(np.asarray, v)
+    tp, ts = resnet18_torchvision_to_resnet(state)
+
+    def check(sub, ref, path=""):
+        for k, val in sub.items():
+            assert k in ref, (path, k, list(ref))
+            if isinstance(val, dict):
+                check(val, ref[k], path + "/" + k)
+            else:
+                assert np.shape(val) == np.shape(ref[k]), (path + "/" + k,)
+
+    check(tp, v["params"])
+    check(ts, v["batch_stats"])
+    # no slot left unimported (full trunk coverage)
+    n_imported = len(jax.tree_util.tree_leaves(tp))
+    n_model = len(jax.tree_util.tree_leaves(v["params"]))
+    assert n_imported == n_model, (n_imported, n_model)
+    f8, f16, f32 = model.apply({"params": tp, "batch_stats": ts}, x, train=False)
+    assert f8.shape[-1] == 128 and f32.shape[-1] == 512
+    assert np.isfinite(np.asarray(f32)).all()
+
+    # torch-golden: run the reference's own Resnet18 forward with the same
+    # weights (lib/models/resnet.py) and compare feat8/16/32
+    import importlib.util
+    import sys
+    spec = importlib.util.spec_from_file_location(
+        "ref_resnet", "/root/reference/lib/models/resnet.py")
+    ref = importlib.util.module_from_spec(spec)
+    sys.modules["ref_resnet"] = ref
+    spec.loader.exec_module(ref)
+    # zero egress: feed the synthetic state dict through the reference's own
+    # modelzoo hook so its init_weight load path is exercised offline
+    ref.modelzoo.load_url = lambda url: {
+        k: torch.tensor(v2) for k, v2 in state.items()
+    }
+    net = ref.Resnet18()
+    net.load_state_dict(
+        {k: torch.tensor(v2) for k, v2 in state.items() if k != "fc.weight"},
+        strict=False,
+    )
+    net.eval()
+    with torch.no_grad():
+        w8, w16, w32 = net(torch.tensor(np.asarray(x)).permute(0, 3, 1, 2))
+    # random N(1,0.1) BN scales compound over 18 layers → activations reach
+    # 1e7; tolerance is relative-only at that magnitude
+    np.testing.assert_allclose(
+        np.asarray(f8).transpose(0, 3, 1, 2), w8.numpy(), atol=1.0, rtol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(f32).transpose(0, 3, 1, 2), w32.numpy(), atol=1.0, rtol=5e-3)
