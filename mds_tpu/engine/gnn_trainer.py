@@ -130,7 +130,11 @@ class AlternatingTrainer:
         # GNN toward identity graphs + the seg model's current prototypes for
         # lr.init_iter steps before normal alternation
         self.init_iters = int(g("lr", "init_iter", d=0))
-        self.mode = g("train", "mode", d="alternate")  # alternate|seg|gnn
+        # alternate|seg|gnn|clip — 'clip' trains the seg net against FROZEN
+        # CLIP-text prototypes with identity graphs (reference
+        # tools/train_clip_3datasets.py + CrossDatasetsCELoss_CLIP,
+        # loss_cross_datasets.py:662-712: logits = einsum(feat, text_vecs))
+        self.mode = g("train", "mode", d="alternate")
         # annealed Gumbel-softmax max graphs (reference GNN.GumbelSoftmax,
         # graph_attention_network.py:958-960,1059-1063; τ₀=10)
         self.gumbel = bool(g("GNN", "GumbelSoftmax", d=False))
@@ -147,6 +151,9 @@ class AlternatingTrainer:
             {"buffers": self.seg_buffers},
             pretrain_bipartite_graphs(self.dataset_cats, self.M),
         )["buffers"]
+        if self.mode == "clip":
+            # frozen CLIP text anchors as the classifier
+            self.set_clip_prototypes()
 
     # ------------------------------------------------------------------ steps
     def _build_steps(self, compute_dtype):
@@ -225,7 +232,17 @@ class AlternatingTrainer:
                 metrics,
             )
 
+        freeze_proto = self.mode == "clip"
+
         def seg_loss_fn(seg_params, batch_stats, buffers, ims, lbs):
+            if freeze_proto:
+                # clip mode: the CLIP text prototypes are fixed anchors —
+                # only the backbone/feature path learns (reference freezes
+                # text_feature_vecs, train_clip_3datasets.py:449-452)
+                seg_params = {
+                    k: (jax.lax.stop_gradient(v) if "prototype" in k else v)
+                    for k, v in seg_params.items()
+                }
             xs = normalize_images(ims, means, stds, dtype=compute_dtype)
             out, mut = seg_model.apply(
                 {"params": seg_params, "batch_stats": batch_stats,
@@ -455,7 +472,9 @@ class AlternatingTrainer:
                 self.stage = GNN
                 self.alter_iter = 0
             return {k: float(v) for k, v in metrics.items()}
-        if self.mode == "seg":
+        if self.mode == "clip":
+            self.stage = SEG
+        elif self.mode == "seg":
             self.stage = SEG
         elif self.mode == "gnn":
             self.stage = GNN

@@ -181,3 +181,29 @@ def test_gumbel_and_km_trainer():
         assert g.shape == (c, t.M)
         assert (g.sum(axis=0) == 1).all()
         assert (g.sum(axis=1) >= 1).all()
+
+
+@pytest.mark.slow
+def test_clip_mode_freezes_prototypes():
+    """train.mode=clip (reference train_clip_* family): CLIP-text-seeded
+    prototypes stay FROZEN while the backbone trains."""
+    cfg = tiny_configer()
+    cfg.update(["train", "mode"], "clip")
+    t = AlternatingTrainer(cfg)
+    assert t.stage == GNN or True  # stage forced to SEG by step()
+    proto0 = np.asarray(t.seg_state.params["unify_prototype"]).copy()
+    backbone0 = np.asarray(
+        jax.tree_util.tree_leaves(t.seg_state.params["backbone"])[0]
+    ).copy()
+    rng = np.random.default_rng(6)
+    for _ in range(3):
+        m = t.step(make_batch(rng))
+        assert t.stage == SEG
+        assert np.isfinite(m["loss"])
+    np.testing.assert_array_equal(
+        np.asarray(t.seg_state.params["unify_prototype"]), proto0
+    )
+    backbone1 = np.asarray(
+        jax.tree_util.tree_leaves(t.seg_state.params["backbone"])[0]
+    )
+    assert not np.allclose(backbone1, backbone0)

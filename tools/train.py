@@ -67,7 +67,7 @@ def main():
         finally:
             loader.close()
         trainer.save()
-    elif args.gnn:
+    elif args.gnn or mode in ("alternate", "gnn", "clip"):
         import jax
         import numpy as np
 
