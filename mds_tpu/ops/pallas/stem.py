@@ -153,6 +153,120 @@ def _stem_fwd(x: jax.Array, k: jax.Array, th: int = 8,
     return out.reshape(b, n_t * th, w2, o)[:, :h2]
 
 
+def _kernel_dma(xu0, xu1, xu2, w_ref, out_ref, b0, b1, b2, a_ref, sem,
+                *, th: int, w2: int, o: int, relu: bool):
+    """DMA variant: the padded u32 planes stay in HBM (pltpu.ANY); each grid
+    step copies its OVERLAPPING (2·th+1)-row window into VMEM itself —
+    BlockSpec can't express overlap, and materializing stacked overlapping
+    tiles in XLA cost ~64 dynamic-update-slices + 2× HBM traffic per plane
+    (profiled: the prep dominated the kernel)."""
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    rows = b0.shape[0]  # (2·th+1) rounded up to 8 (DMA row alignment)
+    bufs = (b0, b1, b2)
+    for c, xu in enumerate((xu0, xu1, xu2)):
+        pltpu.make_async_copy(
+            xu.at[bi, pl.ds(ti * 2 * th, rows)], bufs[c], sem
+        ).start()
+    w = w_ref[:]
+    fused = out_ref.dtype == jnp.bfloat16
+    a_ref[27:32, :] = jnp.zeros((5, w2), jnp.float32)
+    if fused:
+        a_ref[27:28, :] = jnp.ones((1, w2), jnp.float32)
+    for c, xu in enumerate((xu0, xu1, xu2)):
+        pltpu.make_async_copy(
+            xu.at[bi, pl.ds(ti * 2 * th, rows)], bufs[c], sem
+        ).wait()
+    planes = []
+    for c in range(3):
+        u = bufs[c][:]
+        ev = pltpu.bitcast(u << 16, jnp.float32)
+        od = pltpu.bitcast(u & jnp.uint32(0xFFFF0000), jnp.float32)
+        planes.append((ev, od))
+    for y in range(th):
+        k = 0
+        for dy in range(3):
+            r = 2 * y + dy
+            for dx in (-1, 0, 1):
+                for c in range(3):
+                    ev, od = planes[c]
+                    if dx == -1:
+                        tap = jax.lax.slice(ev, (r, 0), (r + 1, w2))
+                    elif dx == 0:
+                        tap = jax.lax.slice(od, (r, 0), (r + 1, w2))
+                    else:
+                        tap = jax.lax.slice(ev, (r, 1), (r + 1, w2 + 1))
+                    a_ref[k : k + 1, :] = tap
+                    k += 1
+        out = jax.lax.dot_general(
+            a_ref[:], w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if fused:
+            if relu:
+                out = jnp.maximum(out, 0.0)
+            out_ref[0, 0, y] = out[:, :o].astype(jnp.bfloat16)
+        else:
+            out_ref[0, 0, y] = out[:, :o]
+
+
+@functools.partial(jax.jit, static_argnames=("th", "interpret", "relu"))
+def _stem_fwd_dma(x: jax.Array, k: jax.Array, th: int = 8,
+                  interpret: bool = False, scale=None, bias=None,
+                  relu: bool = False) -> jax.Array:
+    b, h, w, c = x.shape
+    _, _, kc, o = k.shape
+    assert c == 3 and kc == 3, (x.shape, k.shape)
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    assert x.dtype == jnp.bfloat16, x.dtype
+    fused = scale is not None
+    h2, w2 = h // 2, w // 2
+    n_t = -(-h2 // th)
+
+    rows = -(-(2 * th + 1) // 8) * 8  # DMA rows must be 8-aligned
+    pad_rows = 2 * (n_t - 1) * th + rows - (h + 1)
+    wcols = -(-(w2 + 1) // 128) * 128  # DMA minor dim must be 128-aligned
+    planes = []
+    for ci in range(3):
+        p = jnp.pad(x[..., ci], ((0, 0), (1, 1 + pad_rows), (1, 1)))
+        pu = jax.lax.bitcast_convert_type(
+            p.reshape(b, p.shape[1], w2 + 1, 2), jnp.uint32
+        )  # (B, Hp, w2+1) — stays in HBM, no tile stacking
+        pu = jnp.pad(pu, ((0, 0), (0, 0), (0, wcols - (w2 + 1))))
+        planes.append(pu)
+
+    no = max(32, -(-o // 32) * 32)
+    wm_rows = [k[dy, (dx + 1), ci] for dy in range(3) for dx in (-1, 0, 1)
+               for ci in range(3)]
+    wm = jnp.stack(wm_rows).astype(jnp.float32)
+    if fused:
+        wm = wm * scale.astype(jnp.float32)[None, :]
+        wm = jnp.concatenate([wm, bias.astype(jnp.float32)[None, :]], axis=0)
+    wm = jnp.pad(wm, ((0, 32 - wm.shape[0]), (0, no - o)))
+
+    out_dtype = jnp.bfloat16 if fused else jnp.float32
+    out = pl.pallas_call(
+        functools.partial(_kernel_dma, th=th, w2=w2, o=o, relu=relu),
+        grid=(b, n_t),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (1, 1, th, w2, o), lambda bi, ti: (bi, ti, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_t, th, w2, o), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows, wcols), jnp.uint32),
+            pltpu.VMEM((rows, wcols), jnp.uint32),
+            pltpu.VMEM((rows, wcols), jnp.uint32),
+            pltpu.VMEM((32, w2), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(*planes, wm)
+    return out.reshape(b, n_t * th, w2, o)[:, :h2]
+
+
 def _plain(x, k):
     return jax.lax.conv_general_dilated(
         x, k.astype(x.dtype), (2, 2), [(1, 1), (1, 1)],
@@ -167,6 +281,20 @@ def stem_conv3x3_s2(x: jax.Array, k: jax.Array) -> jax.Array:
     return _stem_fwd(x, k, interpret=jax.default_backend() != "tpu")
 
 
+# Measured in-graph on v5e (bench.py, 2026-08-17): "tiles" 123.6 FPS vs
+# "dma" 118.0 FPS end-to-end — XLA overlaps/fuses the stacked-tile prep
+# better than the in-kernel window DMAs (which also pay a 1025→1152-col pad
+# of the u32 planes). "dma" kept for shapes where the prep DUS chain blows
+# up (very tall images).
+_STEM_VARIANT = "tiles"  # "tiles" | "dma"
+
+
+def set_stem_variant(v: str) -> None:
+    assert v in ("dma", "tiles"), v
+    global _STEM_VARIANT
+    _STEM_VARIANT = v
+
+
 def stem_conv_bn_relu_s2(x: jax.Array, k: jax.Array, scale: jax.Array,
                          bias: jax.Array, relu: bool = True) -> jax.Array:
     """Deploy-fused stem: conv(3×3, s=2) → ·scale + bias → [ReLU], emitted
@@ -175,8 +303,9 @@ def stem_conv_bn_relu_s2(x: jax.Array, k: jax.Array, scale: jax.Array,
     patch matrix's ones row, and the ReLU + bf16 store happen in-register).
     Eval/inference only (no VJP). scale/bias are the folded BN coefficients:
     scale = γ·rsqrt(var+eps), bias = β − mean·scale."""
-    return _stem_fwd(x, k, interpret=jax.default_backend() != "tpu",
-                     scale=scale, bias=bias, relu=relu)
+    interp = jax.default_backend() != "tpu"
+    impl = _stem_fwd_dma if (_STEM_VARIANT == "dma" and not interp) else _stem_fwd
+    return impl(x, k, interpret=interp, scale=scale, bias=bias, relu=relu)
 
 
 def _fwd(x, k):

@@ -116,3 +116,23 @@ def test_fused_stem_bn_relu_matches_separate():
             assert (np.asarray(got, np.float32) >= 0).all()  # ReLU applied
     finally:
         layers.set_stem_impl("plain")
+
+
+def test_stem_dma_variant_matches_tiles():
+    """The in-kernel-DMA stem variant must agree with the stacked-tiles
+    default (both interpret-mode on CPU: dma falls back to tiles there, so
+    just assert the selection plumbing works and output matches)."""
+    from mds_tpu.ops.pallas import stem as stem_mod
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (1, 16, 32, 3)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(0, 0.3, (3, 3, 3, 8)), jnp.float32)
+    s = jnp.ones(8, jnp.float32)
+    b = jnp.zeros(8, jnp.float32)
+    want = np.asarray(stem_mod.stem_conv_bn_relu_s2(x, k, s, b), np.float32)
+    stem_mod.set_stem_variant("dma")
+    try:
+        got = np.asarray(stem_mod.stem_conv_bn_relu_s2(x, k, s, b), np.float32)
+    finally:
+        stem_mod.set_stem_variant("tiles")
+    np.testing.assert_allclose(got, want, atol=1e-3)
