@@ -192,6 +192,23 @@ def enable_s2d_stem(enable: bool = True) -> None:
     set_stem_impl("s2d" if enable else "planes")
 
 
+# Eval-path fused 3×3 s1 conv (ops/pallas/conv3x3.py) for the low-channel
+# full-resolution convs whose XLA lowering is dominated by layout copies
+# (profiled v5e: detail S1_2 costs 0.62 ms conv + ~0.9 ms relu/layout
+# copies at 512×1024×64). MEASURED 2026-08-17 (bench.py end-to-end):
+# XLA 123.6 FPS > pallas gated to S1_2 only 112.0 > pallas on all c_in≤64
+# convs 78.1 — the row-tile kernel's fori_loop tap gathers lose to XLA's
+# conv even including XLA's layout copies. Default stays "xla"; the path is
+# kept for backends/shapes where grouped lowering degrades.
+_CONV3_EVAL_IMPL = "xla"  # "xla" | "pallas"
+
+
+def set_conv3_eval_impl(impl: str) -> None:
+    assert impl in ("xla", "pallas"), impl
+    global _CONV3_EVAL_IMPL
+    _CONV3_EVAL_IMPL = impl
+
+
 class DepthwiseConv3x3(nn.Module):
     """Depthwise/grouped 3×3 conv. Default: XLA grouped conv (fastest measured
     on v5e, differentiable). Alternatives via set_depthwise_impl: 'shift' = 9
@@ -296,6 +313,48 @@ class StemConv3x3S2(nn.Module):
         return y
 
 
+class Conv3x3S1Fusable(nn.Module):
+    """3×3 s1 conv whose eval path can run the Pallas fused
+    conv-BN-ReLU kernel (ops/pallas/conv3x3.py) — targeted at the
+    low-channel full-resolution convs where XLA's lowering spends more on
+    layout copies around the conv+ReLU than on the conv itself (profiled
+    v5e: detail S1_2 = 0.62 ms conv + ~0.9 ms copies at 512×1024×64).
+    Param layout matches nn.Conv (HWIO 'kernel') so trees are identical."""
+
+    out_chan: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, scale: Optional[jax.Array] = None,
+                 bias: Optional[jax.Array] = None,
+                 relu: bool = False) -> jax.Array:
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", conv_init(), (3, 3, c_in, self.out_chan), jnp.float32
+        )
+        x = x.astype(self.dtype)
+        fused = scale is not None
+        if (
+            fused and x.dtype == jnp.bfloat16 and x.shape[1] >= 512
+            and jax.default_backend() == "tpu"
+        ):
+            from mds_tpu.ops.pallas.conv3x3 import conv3x3_bn_relu_pallas
+
+            return conv3x3_bn_relu_pallas(
+                x, kernel.astype(self.dtype), scale, bias, relu=relu
+            )
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(self.dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if fused:
+            y = y.astype(jnp.float32) * scale + bias
+            if relu:
+                y = jnp.maximum(y, 0.0)
+            y = y.astype(self.dtype)
+        return y
+
+
 class ConvBNReLU(nn.Module):
     """conv → per-dataset BN → shared affine → ReLU
     (reference: lib/models/bisenetv2.py:12-74). One conv (shared weights)
@@ -330,6 +389,12 @@ class ConvBNReLU(nn.Module):
             and c_in <= 4
         ):
             conv = StemConv3x3S2(self.out_chan, self.dtype, name="conv")
+        elif (
+            _CONV3_EVAL_IMPL == "pallas" and self.groups == 1 and self.ks == 3
+            and self.stride == 1 and self.dilation == 1 and not self.bias
+            and c_in <= 64
+        ):
+            conv = Conv3x3S1Fusable(self.out_chan, self.dtype, name="conv")
         else:
             conv = nn.Conv(
                 self.out_chan,
@@ -354,6 +419,12 @@ class ConvBNReLU(nn.Module):
         if isinstance(conv, StemConv3x3S2) and not train:
             # deploy-fused stem: fold the eval-mode BN into the conv and run
             # conv→affine→ReLU in one pass (bf16 out on the Pallas path)
+            coeffs = bn(xs, train=False, fold=True)
+            return [
+                None if x is None else conv(x, cf[0], cf[1], relu=self.relu)
+                for x, cf in zip(xs, coeffs)
+            ]
+        if isinstance(conv, Conv3x3S1Fusable) and not train:
             coeffs = bn(xs, train=False, fold=True)
             return [
                 None if x is None else conv(x, cf[0], cf[1], relu=self.relu)
