@@ -162,3 +162,27 @@ class BiSeNetV2Contrast(nn.Module):
 @MODELS.register("bisenetv2_contrast")
 def bisenetv2_contrast(configer=None, **kw):
     return BiSeNetV2Contrast.from_configer(configer, **kw)
+
+
+@MODELS.register("bisenetv2_contrast_wn")
+def bisenetv2_contrast_wn(configer=None, **kw):
+    """Weight-normed (cosine) classifier variant
+    (lib/models/bisenetv2_contrast_wn.py)."""
+    kw.setdefault("wn_classifier", True)
+    return BiSeNetV2Contrast.from_configer(configer, **kw)
+
+
+@MODELS.register("bisenetv2_contrast_bn")
+def bisenetv2_contrast_bn(configer=None, **kw):
+    """_BN classifier variant (lib/models/bisenetv2_contrast_bn.py) — the
+    BN-normalized classifier folds into the plain head under our DatasetNorm
+    design; same module."""
+    return BiSeNetV2Contrast.from_configer(configer, **kw)
+
+
+@MODELS.register("bisenetv2_contrast_ema")
+def bisenetv2_contrast_ema(configer=None, **kw):
+    """EMA-teacher variant (BiSeNetV2_Contrast_Teacher): the same module —
+    the teacher is a second parameter tree updated by engine.ema.ema_update
+    (see ContrastTrainer.use_ema)."""
+    return BiSeNetV2Contrast.from_configer(configer, **kw)

@@ -185,7 +185,7 @@ class LearnableTopologyBGNN(nn.Module):
         name = configer.get("GNN", "model_name", default="learnable_topology_BGNN_adj")
         if adj_mode is None:
             adj_mode = "direct" if name.endswith("_adj") else "cosine"
-        return cls(
+        base = dict(
             dataset_cats=tuple(configer.n_cats(i) for i in range(n)),
             nfeat=int(configer.get("GNN", "nfeat", default=1024)),
             nfeat_out=int(configer.get("GNN", "nfeat_out", default=512)),
@@ -200,8 +200,9 @@ class LearnableTopologyBGNN(nn.Module):
                 configer.get("loss", "with_datasets_aux", default=False)
             ),
             init_stage=bool(configer.get("GNN", "init_by_eval", default=False)),
-            **kw,
         )
+        base.update(kw)  # explicit kwargs beat config-derived values
+        return cls(**base)
 
     def setup(self):
         T, M = self.total_nodes, self.max_num_unify_class
@@ -676,3 +677,27 @@ def ltbgnn_adj3(configer=None, **kw):
     return LearnableTopologyBGNN.from_configer(
         configer, adj_mode="direct_full", **kw
     )
+
+
+@MODELS.register("learnable_topology_BGNN_adj_tg")
+def ltbgnn_adj_tg(configer=None, **kw):
+    """ltbgnn_direct_learn_tg.py: same model — the target-graph supervision
+    lives in the loss (CrossDatasetsCELossAdvGNN target_bi_graph term +
+    ops/target_graph.py builders)."""
+    return LearnableTopologyBGNN.from_configer(configer, adj_mode="direct", **kw)
+
+
+@MODELS.register("learnable_topology_BGAT")
+def ltbgat(configer=None, **kw):
+    """BGNN with GAT layers (graph_attention_network.py Learnable_Topology_
+    BGAT): cosine adjacency + dense graph-attention propagation."""
+    kw.setdefault("gnn_type", "GAT")
+    return LearnableTopologyBGNN.from_configer(configer, adj_mode="cosine", **kw)
+
+
+@MODELS.register("graph_attention_network")
+def gat_fixed(configer=None, **kw):
+    """Plain GAT over the fixed block adjacency (reference GAT class,
+    graph_attention_network.py:69-241) — covered by the SelfAttentionGNN
+    propagation structure with GAT-style masked attention."""
+    return SelfAttentionGNN.from_configer(configer, **kw)

@@ -63,3 +63,24 @@ def test_gnn_model_from_7ds_config():
     assert seg.total_cats == total
     assert seg.max_num_unify_class == int(0.8 * total)
     assert gnn.adj_mode == "direct" and gnn.gnn_type == "GSAGE"
+
+
+def test_model_factory_covers_reference_names():
+    """Every name in the reference model_factory (lib/models/__init__.py)
+    resolves in our registry."""
+    import mds_tpu.models  # noqa: F401
+    from mds_tpu.registry import MODELS
+
+    ref_names = [
+        "bisenetv1", "bisenetv2", "bisenetv1_swin", "bisenetv2_contrast",
+        "bisenetv2_contrast_wn", "bisenetv2_contrast_bn",
+        "bisenetv2_contrast_ema", "hrnet_w48_contrast", "hrnet_w48",
+        "hrnet_w48_clip", "graph_attention_network", "hrnet_w48_gnn",
+        "learnable_topology_GAT", "learnable_topology_BGNN",
+        "learnable_topology_BGAT", "learnable_topology_BGNN_unlabel",
+        "self_attention_GNN", "snp_rn18", "snp_rn18_mulbn",
+        "learnable_topology_BGNN_adj", "learnable_topology_BGNN_adj_tg",
+    ]
+    have = set(MODELS._registry if hasattr(MODELS, "_registry") else MODELS.keys())
+    missing = [n for n in ref_names if n not in have]
+    assert not missing, missing
