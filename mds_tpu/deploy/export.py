@@ -74,3 +74,47 @@ def stablehlo_text(model, variables, input_hw: Tuple[int, int],
     h, w = input_hw
     spec = jax.ShapeDtypeStruct((1, h, w, 3), jnp.uint8)
     return jax.jit(fn).lower(spec).as_text()
+
+
+def export_pjrt_artifact(model, variables, input_hw: Tuple[int, int],
+                         out_dir: str, mean=None, std=None,
+                         dataset: int = 0) -> str:
+    """Write a directory artifact the standalone C++ PJRT runner
+    (cpp/pjrt_runner.cpp) consumes — the native-deploy analog of the
+    reference's ONNX file for tensorrt/segment.cpp:
+
+      module.mlir        — StableHLO module, textual MLIR (PJRT 'mlir' format)
+      compile_options.pb — serialized CompileOptionsProto (1 replica/partition)
+      meta.json          — input/output shapes + dtypes
+
+    jax.export's own serialization is jax-internal; the C API path takes the
+    raw MLIR + options proto instead.
+    """
+    import json
+
+    from jax._src.lib import xla_client as xc
+
+    mean = mean if mean is not None else np.zeros(3, np.float32)
+    std = std if std is not None else np.ones(3, np.float32)
+    fn = make_e2e_fn(model, variables, mean, std, dataset)
+    h, w = input_hw
+    spec = jax.ShapeDtypeStruct((1, h, w, 3), jnp.uint8)
+    lowered = jax.jit(fn).lower(spec)
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "module.mlir"), "w") as f:
+        f.write(lowered.as_text())
+    co = xc.CompileOptions()
+    co.num_replicas = 1
+    co.num_partitions = 1
+    with open(os.path.join(out_dir, "compile_options.pb"), "wb") as f:
+        f.write(co.SerializeAsString())
+    out_aval = jax.eval_shape(fn, spec)
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({
+            "input": {"shape": [1, h, w, 3], "dtype": "uint8",
+                      "name": "input_image"},
+            "output": {"shape": list(out_aval.shape),
+                       "dtype": str(out_aval.dtype), "name": "preds"},
+        }, f, indent=1)
+    return out_dir
