@@ -172,6 +172,33 @@ class SemsegModel(nn.Module):
         logits = resize_bilinear_ac(logits, (h * 4, w * 4))
         return jnp.argmax(logits, axis=-1)
 
+    def clip_logits(self, x: jax.Array, dataset: int = 0):
+        """aux_mode='clip' (semseg.py:355-361): logits against the dataset's
+        OWN prototype rows (the CLIP-text anchors occupy rows
+        [Σc_<i, Σc_<i + c_i) when seeded with identity graphs)."""
+        feats = self.features([x if i == dataset else None
+                               for i in range(len(self.datasets_cats))],
+                              train=False)
+        cur = sum(self.datasets_cats[:dataset])
+        rows = self.unify_prototype[cur : cur + self.datasets_cats[dataset]]
+        return proto_logits(feats[dataset], rows)
+
+    def unseen_pred_logits(self, x: jax.Array, dataset: int = 0):
+        """aux_mode='unseen' (semseg.py:365-372): hard-argmax the unified
+        logits to a one-hot, then remap the one-hot through the dataset's
+        bipartite graph — the unseen-class transfer protocol."""
+        logits = self.uni_eval_logits(x, dataset)
+        one_hot = jax.nn.one_hot(
+            jnp.argmax(logits, axis=-1), logits.shape[-1],
+            dtype=logits.dtype,
+        )
+        return remap_logits(one_hot, self.bi_graphs[dataset].value)
+
+    def features_tg(self, xs: MultiX, *, train: bool = False):
+        """aux_mode='train_tg' (semseg.py:373-374): backbone features only —
+        the target-graph trainers consume {'seg': features}."""
+        return {"seg": self.features(xs, train=train)}
+
 
 def set_bipartite_graphs(variables: dict, bi_graphs: Sequence) -> dict:
     """Functional set_bipartite_graphs (semseg.py:452-466). Accepts n or 2n

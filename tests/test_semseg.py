@@ -161,3 +161,29 @@ def test_swiftnet_remat_grad():
     g = jax.grad(loss)(v["params"])
     leaf = jax.tree_util.tree_leaves(g)[0]
     assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_clip_unseen_tg_modes():
+    """aux_mode clip/unseen/train_tg coverage (reference semseg.py:355-374)."""
+    model = SemsegModel(datasets_cats=(3, 4), output_feat_dim=16,
+                        unify_ratio=1.0)
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (1, 64, 64, 3)),
+                    jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0)}, [x, None], train=False)
+    # identity graphs so rows are meaningful
+    from mds_tpu.models.semseg import set_bipartite_graphs
+    from mds_tpu.ops.uot_match import pretrain_bipartite_graphs
+
+    v = {**v, **set_bipartite_graphs(
+        {"buffers": dict(v.get("buffers", {}))},
+        pretrain_bipartite_graphs((3, 4), 7),
+    )}
+    clip = model.apply(v, x, dataset=1, method=model.clip_logits)
+    assert clip.shape[-1] == 4  # dataset 1's own class count
+    unseen = model.apply(v, x, dataset=0, method=model.unseen_pred_logits)
+    assert unseen.shape[-1] == 3
+    # one-hot remap: each pixel's row sums to <= 1 and is binary-ish
+    u = np.asarray(unseen)
+    assert ((u == 0) | (u == 1)).all()
+    tg = model.apply(v, [x, None], method=model.features_tg)
+    assert tg["seg"][0].shape[-1] == 16 and tg["seg"][1] is None
