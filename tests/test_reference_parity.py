@@ -351,3 +351,64 @@ def test_gnn_bgnn_adj_forward_matches_reference():
 
 def _np_t(t):
     return t.detach().cpu().numpy().astype(np.float32)
+
+
+def test_color_jitter_matches_reference_adj_fns():
+    """Our ColorJitter LUT/matmul ops vs the reference's deterministic
+    adj_brightness/adj_contrast/adj_saturation (lib/transform_cv2.py:105-126)
+    at fixed rates."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_tcv2", "/root/reference/lib/transform_cv2.py")
+    ref = importlib.util.module_from_spec(spec)
+    sys.modules["ref_tcv2"] = ref
+    spec.loader.exec_module(ref)
+
+    from mds_tpu.data import transforms as T
+
+    rng = np.random.default_rng(0)
+    im = rng.integers(0, 256, (16, 24, 3)).astype(np.uint8)
+    cj_ref = ref.ColorJitter(brightness=0.4, contrast=0.4, saturation=0.4)
+    cj_ours = T.ColorJitter(brightness=0.4, contrast=0.4, saturation=0.4)
+    for rate in (0.6, 1.0, 1.4):
+        np.testing.assert_array_equal(
+            cj_ours.adj_brightness(im, rate), cj_ref.adj_brightness(im, rate)
+        )
+        np.testing.assert_array_equal(
+            cj_ours.adj_contrast(im, rate), cj_ref.adj_contrast(im, rate)
+        )
+        np.testing.assert_allclose(
+            cj_ours.adj_saturation(im, rate).astype(np.int32),
+            cj_ref.adj_saturation(im, rate).astype(np.int32),
+            atol=1,
+        )
+
+
+def test_totensor_matches_reference():
+    """Normalize semantics vs the reference ToTensor
+    (lib/transform_cv2.py:283-301)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_tcv2b", "/root/reference/lib/transform_cv2.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    rng = np.random.default_rng(1)
+    im = rng.integers(0, 256, (8, 10, 3)).astype(np.uint8)
+    lb = rng.integers(0, 19, (8, 10)).astype(np.uint8)
+    mean, std = (0.3257, 0.369, 0.3223), (0.2112, 0.2148, 0.2115)
+    out = ref.ToTensor(mean=mean, std=std)(dict(im=im, lb=lb))
+    want = out["im"].numpy()  # (3, H, W) normalized
+
+    from mds_tpu.engine.train_step import normalize_images
+
+    got = normalize_images(
+        [jnp.asarray(im[None])],
+        [jnp.asarray(np.asarray(mean, np.float32))],
+        [jnp.asarray(np.asarray(std, np.float32))],
+    )[0]
+    got = np.asarray(got)[0].transpose(2, 0, 1)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    np.testing.assert_array_equal(out["lb"].numpy().squeeze(), lb)
