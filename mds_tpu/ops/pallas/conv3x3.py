@@ -27,29 +27,30 @@ _BLOCK_BYTES = 3 * 1024 * 1024
 
 def _kernel(x_ref, w_ref, scale_ref, bias_ref, out_ref, *, th: int, w_out: int,
             cin: int, cout: int, relu: bool):
-    # 9 accumulated MXU matmuls (tap (TH,W,Cin) × w (Cin,Cout)). Mosaic
-    # constraints shape the loop nest: a fully unrolled python loop
-    # materializes all 9 taps (VMEM OOM); dynamic offsets are only legal on
-    # non-minor dims, so dy (dim 2) runs as a fori_loop (one tap buffer,
-    # reused) while dx (the sublane dim) is a static unroll.
-    def body(dy, acc):
-        for dx in range(3):
-            tap = x_ref[0, 0, pl.ds(dy, th), dx : dx + w_out, :]
-            part = jax.lax.dot_general(
-                tap, w_ref[dy * 3 + dx],
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc = acc + part
-        return acc
-
-    acc = jax.lax.fori_loop(
-        0, 3, body, jnp.zeros((th, w_out, cout), jnp.float32)
-    )
-    acc = acc * scale_ref[0] + bias_ref[0]
-    if relu:
-        acc = jnp.maximum(acc, 0.0)
-    out_ref[0, 0] = acc.astype(out_ref.dtype)
+    # Static per-output-row loop (same shape as the stem kernel): each row is
+    # 9 accumulated MXU matmuls (W, Cin) @ (Cin, Cout) on lane-aligned row
+    # slices. The previous version materialized full (TH, W, Cin) tap
+    # tensors per (dy, dx) — 9 multi-MB VMEM copies per tile — and measured
+    # ~4x slower than XLA's conv; row-at-a-time keeps every operand in
+    # registers/VMEM-resident slices.
+    s = scale_ref[0]
+    b = bias_ref[0]
+    for y in range(th):
+        acc = None
+        for dy in range(3):
+            row = x_ref[0, 0, y + dy]  # (W+2, Cin)
+            for dx in range(3):
+                tap = jax.lax.slice(row, (dx, 0), (dx + w_out, cin))
+                part = jax.lax.dot_general(
+                    tap, w_ref[dy * 3 + dx],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = part if acc is None else acc + part
+        acc = acc * s + b
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        out_ref[0, 0, y] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("relu",))

@@ -153,33 +153,54 @@ def _stem_fwd(x: jax.Array, k: jax.Array, th: int = 8,
     return out.reshape(b, n_t * th, w2, o)[:, :h2]
 
 
-def _kernel_dma(xu0, xu1, xu2, w_ref, out_ref, b0, b1, b2, a_ref, sem,
-                *, th: int, w2: int, o: int, relu: bool):
+def _kernel_dma(xu0, xu1, xu2, w_ref, out_ref, b0, b1, b2, a_ref, sems,
+                *, th: int, w2: int, o: int, relu: bool, n_t: int):
     """DMA variant: the padded u32 planes stay in HBM (pltpu.ANY); each grid
     step copies its OVERLAPPING (2·th+1)-row window into VMEM itself —
     BlockSpec can't express overlap, and materializing stacked overlapping
     tiles in XLA cost ~64 dynamic-update-slices + 2× HBM traffic per plane
-    (profiled: the prep dominated the kernel)."""
+    (profiled: the prep dominated the kernel). Double-buffered: each step
+    prefetches tile ti+1 into the other buffer slot before computing, so the
+    copies overlap the MXU work (the pipelining BlockSpec would have done)."""
     bi = pl.program_id(0)
     ti = pl.program_id(1)
-    rows = b0.shape[0]  # (2·th+1) rounded up to 8 (DMA row alignment)
+    rows = b0.shape[1]  # (2·th+1) rounded up to 8 (DMA row alignment)
     bufs = (b0, b1, b2)
-    for c, xu in enumerate((xu0, xu1, xu2)):
-        pltpu.make_async_copy(
-            xu.at[bi, pl.ds(ti * 2 * th, rows)], bufs[c], sem
-        ).start()
+
+    def start(tile, slot):
+        for c, xu in enumerate((xu0, xu1, xu2)):
+            pltpu.make_async_copy(
+                xu.at[bi, pl.ds(tile * 2 * th, rows)], bufs[c].at[slot],
+                sems.at[slot],
+            ).start()
+
+    def wait(tile, slot):
+        for c, xu in enumerate((xu0, xu1, xu2)):
+            pltpu.make_async_copy(
+                xu.at[bi, pl.ds(tile * 2 * th, rows)], bufs[c].at[slot],
+                sems.at[slot],
+            ).wait()
+
+    slot = jax.lax.rem(ti, 2)
+    nxt = jax.lax.rem(ti + 1, 2)
+
+    @pl.when(ti == 0)
+    def _first():
+        start(ti, slot)
+
+    @pl.when(ti + 1 < n_t)
+    def _prefetch():
+        start(ti + 1, nxt)
+
     w = w_ref[:]
     fused = out_ref.dtype == jnp.bfloat16
     a_ref[27:32, :] = jnp.zeros((5, w2), jnp.float32)
     if fused:
         a_ref[27:28, :] = jnp.ones((1, w2), jnp.float32)
-    for c, xu in enumerate((xu0, xu1, xu2)):
-        pltpu.make_async_copy(
-            xu.at[bi, pl.ds(ti * 2 * th, rows)], bufs[c], sem
-        ).wait()
+    wait(ti, slot)
     planes = []
     for c in range(3):
-        u = bufs[c][:]
+        u = bufs[c][slot]
         ev = pltpu.bitcast(u << 16, jnp.float32)
         od = pltpu.bitcast(u & jnp.uint32(0xFFFF0000), jnp.float32)
         planes.append((ev, od))
@@ -246,7 +267,7 @@ def _stem_fwd_dma(x: jax.Array, k: jax.Array, th: int = 8,
 
     out_dtype = jnp.bfloat16 if fused else jnp.float32
     out = pl.pallas_call(
-        functools.partial(_kernel_dma, th=th, w2=w2, o=o, relu=relu),
+        functools.partial(_kernel_dma, th=th, w2=w2, o=o, relu=relu, n_t=n_t),
         grid=(b, n_t),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3
         + [pl.BlockSpec(memory_space=pltpu.VMEM)],
@@ -256,11 +277,11 @@ def _stem_fwd_dma(x: jax.Array, k: jax.Array, th: int = 8,
         ),
         out_shape=jax.ShapeDtypeStruct((b, n_t, th, w2, o), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((rows, wcols), jnp.uint32),
-            pltpu.VMEM((rows, wcols), jnp.uint32),
-            pltpu.VMEM((rows, wcols), jnp.uint32),
+            pltpu.VMEM((2, rows, wcols), jnp.uint32),
+            pltpu.VMEM((2, rows, wcols), jnp.uint32),
+            pltpu.VMEM((2, rows, wcols), jnp.uint32),
             pltpu.VMEM((32, w2), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(*planes, wm)
