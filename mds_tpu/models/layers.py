@@ -196,10 +196,10 @@ def enable_s2d_stem(enable: bool = True) -> None:
 # full-resolution convs whose XLA lowering is dominated by layout copies
 # (profiled v5e: detail S1_2 costs 0.62 ms conv + ~0.9 ms relu/layout
 # copies at 512×1024×64). MEASURED 2026-08-17 (bench.py end-to-end):
-# XLA 123.6 FPS > pallas row-loop kernel gated to S1_2 only 117.7 (the
-# older tap-materializing kernel: 112.0; on all c_in≤64 convs: 78.1) —
-# 9 matmuls/row at K=64/N=64 is ≤25% util of the 128×128 MXU, so XLA's conv
-# wins even including its layout copies. Default stays "xla"; the path is
+# XLA 123.6 FPS > pallas K-packed row-loop kernel gated to S1_2 only 121.1
+# (plain row loop: 117.7; older tap-materializing kernel: 112.0; on all
+# c_in≤64 convs: 78.1) — even with dy-pair K=128 packing the kernel trails
+# XLA's conv including its layout copies by ~2%. Default stays "xla"; the path is
 # kept for backends/shapes where grouped lowering degrades.
 _CONV3_EVAL_IMPL = "xla"  # "xla" | "pallas"
 

@@ -36,17 +36,29 @@ def _kernel(x_ref, w_ref, scale_ref, bias_ref, out_ref, *, th: int, w_out: int,
     s = scale_ref[0]
     b = bias_ref[0]
     for y in range(th):
+        # K-packing: rows y+0 and y+1 concatenate on channels so their taps
+        # share one K=2·Cin MXU pass (a 128-wide contraction at Cin=64 —
+        # the bare per-tap dot is only K=64/N=64 ≈ 25% MXU util); row y+2
+        # keeps its own K=Cin dots.
+        row01 = jnp.concatenate(
+            [x_ref[0, 0, y], x_ref[0, 0, y + 1]], axis=-1
+        )  # (W+2, 2·Cin)
+        row2 = x_ref[0, 0, y + 2]
         acc = None
-        for dy in range(3):
-            row = x_ref[0, 0, y + dy]  # (W+2, Cin)
-            for dx in range(3):
-                tap = jax.lax.slice(row, (dx, 0), (dx + w_out, cin))
-                part = jax.lax.dot_general(
-                    tap, w_ref[dy * 3 + dx],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                acc = part if acc is None else acc + part
+        for dx in range(3):
+            tap01 = jax.lax.slice(row01, (dx, 0), (dx + w_out, 2 * cin))
+            part = jax.lax.dot_general(
+                tap01, w_ref[0, dx],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            tap2 = jax.lax.slice(row2, (dx, 0), (dx + w_out, cin))
+            part = part + jax.lax.dot_general(
+                tap2, w_ref[1, dx, :cin],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
         acc = acc * s + b
         if relu:
             acc = jnp.maximum(acc, 0.0)
@@ -89,7 +101,13 @@ def conv3x3_bn_relu_pallas(
          for i in range(n_t)],
         axis=1,
     )  # (B, nT, TH+2, W+2, Cin)
-    wf = w.reshape(9, cin, cout).astype(x.dtype)
+    # (2, 3, 2·Cin, Cout): slot 0 = rows dy∈{0,1} channel-concatenated per
+    # dx (the K-packed pass); slot 1 = row dy=2 in the first Cin rows
+    wf = jnp.zeros((2, 3, 2 * cin, cout), x.dtype)
+    for dx in range(3):
+        wf = wf.at[0, dx, :cin].set(w[0, dx].astype(x.dtype))
+        wf = wf.at[0, dx, cin:].set(w[1, dx].astype(x.dtype))
+        wf = wf.at[1, dx, :cin].set(w[2, dx].astype(x.dtype))
     out = pl.pallas_call(
         functools.partial(_kernel, th=th, w_out=w_in, cin=cin, cout=cout,
                           relu=relu),
