@@ -180,3 +180,46 @@ def test_eval_loader_sharding():
     assert len(l0) == 5 and len(l1) == 5
     batches = list(l0)
     assert batches[0].im.shape == (1, 16, 16, 3)
+
+
+def test_reader_on_reference_fixture_images(tmp_path):
+    """Reader-level test on the REAL Cityscapes fixture frame checked into
+    the reference tree (lib/test/test_leftImg8bit.png + test_labelIds.png —
+    the reference's own reader-test pattern, SURVEY.md §4): ann-file read,
+    id→trainId LUT, train transform pipeline."""
+    import os
+    import shutil
+
+    ref_im = "/root/reference/lib/test/test_leftImg8bit.png"
+    ref_lb = "/root/reference/lib/test/test_labelIds.png"
+    if not (os.path.exists(ref_im) and os.path.exists(ref_lb)):
+        import pytest
+
+        pytest.skip("reference fixtures absent")
+    root = tmp_path / "ds"
+    root.mkdir()
+    shutil.copy(ref_im, root / "im.png")
+    shutil.copy(ref_lb, root / "lb.png")
+    ann = tmp_path / "train.txt"
+    ann.write_text("im.png,lb.png\n")
+
+    from mds_tpu.data.base import AnnFileDataset
+    from mds_tpu.data.labels import get_spec
+    from mds_tpu.data.transforms import TransformationTrain
+
+    spec = get_spec("cityscapes")
+    trans = TransformationTrain(scales=(0.75, 1.0), cropsize=(256, 256))
+    ds = AnnFileDataset(str(root), str(ann), spec=spec, trans_func=trans)
+    assert len(ds) == 1
+    out = ds.read(0, np.random.default_rng(0))
+    im, lb = out["im"], out["lb"]
+    assert im.shape == (256, 256, 3) and im.dtype == np.uint8
+    assert lb.shape == (256, 256) and lb.dtype == np.uint8
+    # labels are trainIds: valid ids < n_cats or the 255 ignore
+    u = np.unique(lb)
+    assert ((u < spec.n_cats) | (u == 255)).all(), u
+    # the LUT mapped at least one real class (the frame isn't all-ignore)
+    assert (u < spec.n_cats).any()
+    # raw-id sanity: id 7 (road) must map to trainId 0 per the golden table
+    raw = np.asarray(__import__("PIL.Image", fromlist=["Image"]).open(ref_lb))
+    assert np.asarray(spec.lut_eval)[7] == 0 and (raw == 7).any()
