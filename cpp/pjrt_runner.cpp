@@ -216,14 +216,32 @@ int main(int argc, char** argv) {
     g_api->PJRT_Event_Destroy(&edargs);
   }
 
+  // size the output list from the executable (a fixed array would be stack
+  // corruption for modules returning more outputs)
+  size_t num_outputs = 0;
+  {
+    PJRT_LoadedExecutable_GetExecutable_Args gargs;
+    std::memset(&gargs, 0, sizeof(gargs));
+    gargs.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
+    gargs.loaded_executable = exec;
+    Check(g_api->PJRT_LoadedExecutable_GetExecutable(&gargs), "GetExecutable");
+    PJRT_Executable_NumOutputs_Args nargs;
+    std::memset(&nargs, 0, sizeof(nargs));
+    nargs.struct_size = PJRT_Executable_NumOutputs_Args_STRUCT_SIZE;
+    nargs.executable = gargs.executable;
+    Check(g_api->PJRT_Executable_NumOutputs(&nargs), "NumOutputs");
+    num_outputs = nargs.num_outputs;
+  }
+  std::vector<PJRT_Buffer*> out_list(num_outputs, nullptr);
+
   auto execute_once = [&]() {
     PJRT_ExecuteOptions opts;
     std::memset(&opts, 0, sizeof(opts));
     opts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
     PJRT_Buffer* args_list[1] = {in_buf};
     PJRT_Buffer* const* arg_lists[1] = {args_list};
-    PJRT_Buffer* out_list[8] = {nullptr};
-    PJRT_Buffer** out_lists[1] = {out_list};
+    std::fill(out_list.begin(), out_list.end(), nullptr);
+    PJRT_Buffer** out_lists[1] = {out_list.data()};
     PJRT_Event* events[1] = {nullptr};
 
     PJRT_LoadedExecutable_Execute_Args args;
@@ -247,7 +265,7 @@ int main(int argc, char** argv) {
     edargs.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
     edargs.event = events[0];
     g_api->PJRT_Event_Destroy(&edargs);
-    for (int i = 0; i < 8 && out_list[i]; ++i) {
+    for (size_t i = 0; i < num_outputs && out_list[i]; ++i) {
       PJRT_Buffer_Destroy_Args bargs;
       std::memset(&bargs, 0, sizeof(bargs));
       bargs.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;

@@ -137,18 +137,32 @@ def crop_image_by_label_value(img: np.ndarray, label: np.ndarray,
     return cropped
 
 
-def clip_image_features_from_crops(crops, model_name: str
-                                   ) -> Optional[np.ndarray]:
-    """Mean CLIP image embedding of a list of HWC uint8 crops
-    (gen_image_features, ref :264-311). None if CLIP weights absent."""
+def _load_clip(model_name: str):
+    """(model, processor) or None when CLIP weights are absent (zero-egress).
+    Loaded ONCE per mining pass — the reference keeps one clip.load too
+    (gen_image_features, ref :272-273)."""
     try:
-        import torch
         from transformers import CLIPModel, CLIPProcessor
 
         model = CLIPModel.from_pretrained(model_name, local_files_only=True)
         proc = CLIPProcessor.from_pretrained(model_name, local_files_only=True)
+        return model, proc
     except Exception:
         return None
+
+
+def clip_image_features_from_crops(crops, model_name: str,
+                                   clip=None) -> Optional[np.ndarray]:
+    """Mean CLIP image embedding of a list of HWC uint8 crops
+    (gen_image_features, ref :264-311). None if CLIP weights absent.
+    Pass `clip=(model, processor)` to reuse an already-loaded model."""
+    if clip is None:
+        clip = _load_clip(model_name)
+    if clip is None:
+        return None
+    import torch
+
+    model, proc = clip
     feats = []
     with torch.no_grad():
         for c in crops:
@@ -169,6 +183,9 @@ def _clip_image_features_for_config(configer, model_name: str
     no code changes."""
     import cv2
 
+    clip = _load_clip(model_name)
+    if clip is None:
+        return None  # no CLIP weights — caller falls back to the text half
     rows = []
     try:
         for i in range(configer.n_datasets):
@@ -202,9 +219,9 @@ def _clip_image_features_for_config(configer, model_name: str
                 if not crops:
                     rows.append(None)
                     continue
-                feat = clip_image_features_from_crops(crops, model_name)
-                if feat is None:
-                    return None  # no CLIP weights
+                feat = clip_image_features_from_crops(
+                    crops, model_name, clip=clip
+                )
                 rows.append(feat[0])
     except Exception:
         return None

@@ -509,6 +509,25 @@ def hrnet_ref_from_torch(state: Mapping, n_bn: int = 1) -> Tuple[Dict, Dict]:
     return p, s
 
 
+def detect_torch_layout(sd: Mapping) -> str:
+    """Classify a torch state_dict for finetune_from routing:
+    'semseg' (reference snp_rn18 ckpt), 'hrnet_ref' (reference multi-dataset
+    HRNet), 'hrnet_imagenet' (classification ckpt), 'resnet18'
+    (torchvision ImageNet), or 'bisenetv2' (reference/CoinCheung layout)."""
+    if "backbone.conv1.weight" in sd and "unify_prototype" in sd:
+        return "semseg"
+    if any(k.startswith("transition1.") for k in sd) or any(
+        k.startswith("stage2.0.branches") for k in sd
+    ):
+        return "hrnet_ref" if "conv1.conv.weight" in sd else "hrnet_imagenet"
+    if "fc.weight" in sd or (
+        "conv1.weight" in sd and "layer1.0.conv1.weight" in sd
+        and "detail.S1_1.conv.weight" not in sd
+    ):
+        return "resnet18"
+    return "bisenetv2"
+
+
 def merge_subtree(variables: Dict, subtree: Dict, *path: str) -> Dict:
     """Return a copy of a variables collection with `subtree` grafted onto
     collection[path] (replacing only the keys present in subtree)."""

@@ -73,9 +73,14 @@ class ContrastTrainer:
         )
         self.tx = build_optimizer(configer, schedule)
 
+        from mds_tpu.parallel.mesh import make_mesh, replicate
+
+        self.mesh = mesh if mesh is not None else make_mesh()
         crop = g("train", "cropsize", d=[64, 64])
         sample = [np.zeros((1, crop[0], crop[1], 3), np.float32)] * self.n
         self.state = init_train_state(self.model, self.tx, sample)
+        self.state = replicate(self.state, self.mesh)
+        self.bank = replicate(self.bank, self.mesh)
         # teacher owns COPIES of the student buffers: the jitted step donates
         # the student state, and XLA rejects donated-and-used aliasing
         self.teacher = (
@@ -191,22 +196,41 @@ class ContrastTrainer:
         self._step = jax.jit(step_fn, donate_argnums=(0, 1))
 
     def step(self, batch, it: Optional[int] = None) -> Dict[str, float]:
+        from mds_tpu.parallel.mesh import shard_batch
+
         it = int(self.state.step) if it is None else it
         # contrast warmup gate (reference is_warmup, :478-482)
         cw = jnp.float32(self.loss_weight if it >= self.warmup_iters else 0.0)
         rng = jax.random.PRNGKey(0)
-        ims = [jnp.asarray(x) for x in batch["ims"]]
-        lbs = [jnp.asarray(x) for x in batch["lbs"]]
+        n_dev = int(self.mesh.devices.size)
+        if all(np.shape(x)[0] % n_dev == 0 for x in batch["ims"]):
+            dev = shard_batch(
+                {"ims": list(batch["ims"]), "lbs": list(batch["lbs"])},
+                self.mesh,
+            )
+            ims, lbs = dev["ims"], dev["lbs"]
+        else:  # tiny per-dataset batches (tests): single-device fallback
+            ims = [jnp.asarray(x) for x in batch["ims"]]
+            lbs = [jnp.asarray(x) for x in batch["lbs"]]
         self.state, self.bank, self.teacher, metrics = self._step(
             self.state, self.bank, self.teacher, ims, lbs, rng, cw
         )
         return {k: float(v) for k, v in metrics.items()}
 
     # ------------------------------------------------------------ persistence
-    def save(self, step: Optional[int] = None, force: bool = True):
+    def _extras(self):
         extras = {"bank_feats": self.bank.feats, "bank_ptr": self.bank.ptr}
         if self.teacher is not None:
             extras["teacher"] = self.teacher
+        return extras
+
+    def maybe_save(self) -> bool:
+        """Periodic checkpoint at train.ckpt_interval (the reference saves
+        every 10k iters, train_amp_contrast_single.py)."""
+        return self.ckpt.maybe_save(self.state, extras=self._extras())
+
+    def save(self, step: Optional[int] = None, force: bool = True):
+        extras = self._extras()
         self.ckpt.maybe_save(self.state, extras=extras, force=force)
         self.ckpt.wait()
 

@@ -95,6 +95,9 @@ class Trainer:
         ]
         self.state = init_train_state(self.model, self.tx, sample)
         self.state = replicate(self.state, self.mesh)
+        # flax 'buffers' collection (bipartite graphs for prototype models);
+        # populated by finetune_from on snp checkpoints
+        self.buffers: Dict[str, Any] = {}
 
         means, stds = dataset_stats(configer)
         # use_sync_bn=False (the reference's default, configs/bisenetv2_city
@@ -131,17 +134,45 @@ class Trainer:
             sd = torch.load(path, map_location="cpu")
             if isinstance(sd, dict) and "model_state_dict" in sd:
                 sd = sd["model_state_dict"]
-            if "backbone.conv1.weight" in sd and "unify_prototype" in sd:
-                # reference SemsegModel / snp_rn18 checkpoint
+            layout = ti.detect_torch_layout(sd)
+            if layout == "semseg":
+                # reference SemsegModel / snp_rn18 checkpoint — keep the
+                # learned bipartite graphs too (flax 'buffers' collection;
+                # consumers like AlternatingTrainer/apply read self.buffers)
                 params, stats, buffers = ti.semseg_from_torch(sd)
                 self.state = self.state.replace(
                     params=jax.tree_util.tree_map(jnp.asarray, params),
                     batch_stats=jax.tree_util.tree_map(jnp.asarray, stats),
                 )
-            elif "fc.weight" in sd or (
-                "conv1.weight" in sd and "layer1.0.conv1.weight" in sd
-                and "detail.S1_1.conv.weight" not in sd
-            ):
+                self.buffers = jax.tree_util.tree_map(jnp.asarray, buffers)
+            elif layout in ("hrnet_ref", "hrnet_imagenet"):
+                # HRNet layout: ImageNet classification ckpt
+                # (transition1.{i}.0.weight) or the reference's multi-dataset
+                # layout (conv1.conv.weight + per-dataset bn lists)
+                if layout == "hrnet_ref":
+                    tp, ts = ti.hrnet_ref_from_torch(
+                        sd, n_bn=int(self.configer.get("n_bn", default=1))
+                    )
+                else:
+                    tp, ts = ti.hrnet_backbone_from_torch(
+                        sd, n_bn=int(self.configer.get("n_bn", default=1))
+                    )
+                v = {"params": dict(self.state.params),
+                     "batch_stats": dict(self.state.batch_stats)}
+                sub = "backbone" if "backbone" in v["params"] else None
+                v = ti.merge_subtree(
+                    v, tp, *(("params", sub) if sub else ("params",))
+                )
+                v = ti.merge_subtree(
+                    v, ts, *(("batch_stats", sub) if sub else ("batch_stats",))
+                )
+                self.state = self.state.replace(
+                    params=jax.tree_util.tree_map(jnp.asarray, v["params"]),
+                    batch_stats=jax.tree_util.tree_map(
+                        jnp.asarray, v["batch_stats"]
+                    ),
+                )
+            elif layout == "resnet18":
                 # torchvision ImageNet ResNet18 → trunk graft: BiSeNetV1's
                 # ContextPath resnet (cp/resnet) or SwiftNet's backbone
                 v = {"params": dict(self.state.params),

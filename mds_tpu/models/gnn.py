@@ -179,12 +179,32 @@ class LearnableTopologyBGNN(nn.Module):
     def max_num_unify_class(self) -> int:
         return int(self.unify_ratio * self.total_cats)
 
+    # GNN.model_name → constructor overrides: the research forks route here
+    # (ltbgnn_direct_learn / _3 / _tg, ltbgnn_sfg, ltbgnn_unlabel, BGAT)
+    _NAME_KW = {
+        "learnable_topology_BGNN": dict(adj_mode="cosine"),
+        "learnable_topology_BGNN_adj": dict(adj_mode="direct"),
+        "learnable_topology_BGNN_adj_tg": dict(adj_mode="direct"),
+        "learnable_topology_BGNN_adj3": dict(adj_mode="direct_full"),
+        "learnable_topology_BGNN_sfg": dict(adj_mode="direct_full",
+                                            n_gcn_layers=3),
+        "learnable_topology_BGNN_unlabel": dict(adj_mode="direct",
+                                                with_unlabel=True),
+        "learnable_topology_BGAT": dict(adj_mode="cosine", gnn_type="GAT"),
+    }
+
     @classmethod
     def from_configer(cls, configer, adj_mode: Optional[str] = None, **kw):
         n = configer.n_datasets
         name = configer.get("GNN", "model_name", default="learnable_topology_BGNN_adj")
-        if adj_mode is None:
-            adj_mode = "direct" if name.endswith("_adj") else "cosine"
+        name_kw = dict(cls._NAME_KW.get(
+            name, {"adj_mode": "direct" if name.endswith("_adj") else "cosine"}
+        ))
+        if adj_mode is not None:
+            name_kw["adj_mode"] = adj_mode
+        for k, v in name_kw.items():
+            kw.setdefault(k, v)
+        adj_mode = kw.pop("adj_mode")
         base = dict(
             dataset_cats=tuple(configer.n_cats(i) for i in range(n)),
             nfeat=int(configer.get("GNN", "nfeat", default=1024)),
@@ -452,8 +472,12 @@ def fixed_block_adjacency(dataset_cats: Sequence[int], M: int) -> jax.Array:
     A[:, T:] = 1.0
     cur = 0
     for c in dataset_cats:
-        A[cur:cur + c, T + cur:T + cur + c] = np.eye(c)
-        A[T + cur:T + cur + c, cur:cur + c] = np.eye(c)
+        # clip the identity sub-block when unify_ratio < 1 shrinks M below
+        # the running class offset (the reference indexes out of range here)
+        cc = min(c, max(M - cur, 0))
+        if cc > 0:
+            A[cur:cur + cc, T + cur:T + cur + cc] = np.eye(cc)
+            A[T + cur:T + cur + cc, cur:cur + cc] = np.eye(cc)
         cur += c
     A[:T, :T] = np.eye(T)
     A[T:, T:] = np.eye(M)

@@ -189,7 +189,7 @@ def set_stem_impl(impl: str) -> None:
 
 
 def enable_s2d_stem(enable: bool = True) -> None:
-    set_stem_impl("s2d" if enable else "planes")
+    set_stem_impl("s2d" if enable else "plain")
 
 
 # Eval-path fused 3×3 s1 conv (ops/pallas/conv3x3.py) for the low-channel

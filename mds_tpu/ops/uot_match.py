@@ -136,7 +136,10 @@ def pretrain_bipartite_graphs(dataset_cats: Sequence[int], M: int) -> List[np.nd
     for c in dataset_cats:
         g = np.zeros((c, M), np.float32)
         for j in range(c):
-            g[j, cur + j] = 1.0
+            # unify_ratio < 1 makes M < total_cats: later classes fold onto
+            # column (cur+j) mod M instead of indexing out of range (the
+            # reference's identity init crashes there)
+            g[j, (cur + j) % M] = 1.0
         out.append(g)
         cur += c
     return out

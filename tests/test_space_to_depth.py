@@ -67,13 +67,15 @@ def test_stem_conv_module_param_layout_and_fallback(impl_name):
         (y_odd,) = m.apply(v, [x_odd], train=False)
         assert y_odd.shape == (1, 8, 9, 16)
     finally:
-        layers.set_stem_impl("planes")
+        layers.set_stem_impl("plain")
 
 
 def test_stem_conv_grad_bf16():
     """bf16 training through the planes stem path must be differentiable."""
+    from mds_tpu.models import layers
     from mds_tpu.models.layers import ConvBNReLU
 
+    layers.set_stem_impl("planes")  # explicitly select the path under test
     m = ConvBNReLU(16, ks=3, stride=2, n_bn=1, dtype=jnp.bfloat16)
     x = jnp.ones((1, 8, 8, 3), jnp.bfloat16)
     v = m.init(jax.random.PRNGKey(0), [x], train=False)
@@ -83,9 +85,12 @@ def test_stem_conv_grad_bf16():
                        [x], train=False)
         return jnp.sum(y.astype(jnp.float32))
 
-    g = jax.grad(loss)(v["params"])
-    leaf = jax.tree_util.tree_leaves(g)[0]
-    assert np.isfinite(np.asarray(leaf, np.float32)).all()
+    try:
+        g = jax.grad(loss)(v["params"])
+        leaf = jax.tree_util.tree_leaves(g)[0]
+        assert np.isfinite(np.asarray(leaf, np.float32)).all()
+    finally:
+        layers.set_stem_impl("plain")
 
 
 def test_fused_stem_bn_relu_matches_separate():

@@ -226,3 +226,20 @@ def test_resnet18_torchvision_to_bisenetv1_trunk():
         np.asarray(f8).transpose(0, 3, 1, 2), w8.numpy(), atol=1.0, rtol=5e-3)
     np.testing.assert_allclose(
         np.asarray(f32).transpose(0, 3, 1, 2), w32.numpy(), atol=1.0, rtol=5e-3)
+
+
+def test_detect_torch_layout_routing():
+    """finetune_from layout sniffing: HRNet ckpts must NOT fall into the
+    torchvision-resnet18 branch (they share conv1/layer1 key prefixes)."""
+    from mds_tpu.deploy.torch_import import detect_torch_layout as d
+
+    assert d({"backbone.conv1.weight": 0, "unify_prototype": 0}) == "semseg"
+    # HRNet ImageNet: has conv1.weight + layer1.0.conv1.weight TOO
+    assert d({"conv1.weight": 0, "layer1.0.conv1.weight": 0,
+              "transition1.1.0.0.weight": 0}) == "hrnet_imagenet"
+    assert d({"conv1.conv.weight": 0, "layer1.0.conv1.conv.weight": 0,
+              "transition1.1.0.conv.weight": 0,
+              "stage2.0.branches.0.0.conv1.conv.weight": 0}) == "hrnet_ref"
+    assert d({"conv1.weight": 0, "layer1.0.conv1.weight": 0,
+              "fc.weight": 0}) == "resnet18"
+    assert d({"detail.S1_1.conv.weight": 0, "conv1.weight": 0}) == "bisenetv2"

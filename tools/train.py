@@ -47,12 +47,21 @@ def main():
 
         logger = setup_logger("mds_tpu_contrast", args.work_dir)
         trainer = ContrastTrainer(configer, work_dir=args.work_dir)
+        if args.finetune_from:
+            logger.warning(
+                "--finetune-from is not supported for mode=contrast yet "
+                "(the contrast head/proj layout has no torch importer); "
+                "ignoring %s", args.finetune_from,
+            )
+        if trainer.ckpt.latest_step() is not None:
+            trainer.restore()
+            logger.info(f"restored contrast ckpt at step {int(trainer.state.step)}")
         loader = get_data_loader(
             configer, "train", rank=jax.process_index(), world=jax.process_count()
         )
         tm, lm = TimeMeter(trainer.max_iter), AvgMeter()
         try:
-            for it in range(trainer.max_iter):
+            for it in range(int(trainer.state.step), trainer.max_iter):
                 metrics = trainer.step(next(loader))
                 tm.update()
                 lm.update(metrics["loss"])
@@ -64,6 +73,7 @@ def main():
                         f"contrast={metrics['contrast_loss']:.4f} "
                         f"time={t:.2f} eta={eta}"
                     )
+                trainer.maybe_save()
         finally:
             loader.close()
         trainer.save()
