@@ -57,3 +57,28 @@ def test_stablehlo_text_contains_module(model_vars):
     model, v = model_vars
     txt = stablehlo_text(model, v, (HW, HW))
     assert "module" in txt and "func" in txt
+
+
+def test_demo_size_rounding_for_bga():
+    """Non-/32 inputs shape-mismatch BiSeNetV2's BGA merge (found driving
+    tools/demo.py on the reference's 720x960 CamVid frame); the demo rounds
+    down to /32 and nearest-resizes the label map back."""
+    import numpy as np
+
+    from mds_tpu.models.bisenetv2 import BiSeNetV2
+
+    model = BiSeNetV2(n_classes=(5,), n_bn=1, aux=False)
+    # the rounding the demo applies
+    h, w = 70, 100
+    rh, rw = (max(32, (d // 32) * 32) for d in (h, w))
+    assert (rh, rw) == (64, 96)
+    x = jnp.zeros((1, rh, rw, 3), jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0)}, [x], train=False)
+    pred = model.apply(v, x, dataset=0, method=model.pred)
+    assert pred.shape == (1, rh, rw)
+    # unrounded sizes must be the thing that fails (guards the invariant)
+    import pytest as _pytest
+
+    bad = jnp.zeros((1, 72, 96, 3), jnp.float32)  # 72 = not /32
+    with _pytest.raises(Exception):
+        model.apply(v, bad, dataset=0, method=model.pred)

@@ -43,8 +43,15 @@ def main():
     }
 
     im = np.asarray(Image.open(args.img).convert("RGB"))
+    orig_hw = im.shape[:2]
     if args.size:
         im = resize_image(im, tuple(args.size))
+    # round to /32 — BiSeNetV2's BGA merges the 1/8 detail and ×4-upsampled
+    # 1/32 segment paths, so other sizes shape-mismatch (the reference
+    # rounds eval sizes the same way, evaluate.py get_round_size :43)
+    rh, rw = (max(32, (d // 32) * 32) for d in im.shape[:2])
+    if (rh, rw) != im.shape[:2]:
+        im = resize_image(im, (rh, rw))
     spec_name = configer.dataset_cfg(args.dataset).get("spec")
     spec = get_spec(spec_name) if spec_name else None
     mean = spec.mean if spec else np.zeros(3, np.float32)
@@ -56,6 +63,13 @@ def main():
     pred = np.asarray(
         model.apply(variables, x, dataset=args.dataset, method=model.pred)
     )[0]
+    if pred.shape != orig_hw and not args.size:
+        # nearest-resize the label map back to the original frame size
+        pred = np.asarray(
+            Image.fromarray(pred.astype(np.uint8)).resize(
+                (orig_hw[1], orig_hw[0]), Image.NEAREST
+            )
+        )
 
     if spec is not None:
         palette = spec.palette
