@@ -60,7 +60,23 @@ def cmd_run(args):
     call = load_exported(args.engine)
     im = np.asarray(Image.open(args.img).convert("RGB"))
     h, w = im.shape[:2]
-    out = np.asarray(call(im[None].astype(np.uint8)))[0]
+    # the engine is compiled at a FIXED input size (reference fixes the
+    # export size too) — resize in, nearest-resize the label map back out
+    from jax import export as jexport
+
+    with open(args.engine, "rb") as f:
+        eh, ew = jexport.deserialize(f.read()).in_avals[0].shape[1:3]
+    if (h, w) != (eh, ew):
+        im_in = np.asarray(
+            Image.fromarray(im).resize((ew, eh), Image.BILINEAR)
+        )
+    else:
+        im_in = im
+    out = np.asarray(call(im_in[None].astype(np.uint8)))[0]
+    if out.shape != (h, w):
+        out = np.asarray(
+            Image.fromarray(out.astype(np.uint8)).resize((w, h), Image.NEAREST)
+        )
     palette = np.random.default_rng(123).integers(0, 256, (256, 3), np.uint8)
     Image.fromarray(palette[np.clip(out, 0, 255)]).save(args.out)
     print(f"wrote {args.out}")
