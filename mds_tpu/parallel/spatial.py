@@ -40,6 +40,50 @@ def plan_tiles(size: int, n_tiles: int, margin: int, multiple: int = 32):
     return extent, plans
 
 
+def halo_conv3x3(
+    x: jax.Array,  # (B, H, W, C) — W sharded over the mesh axis
+    kernel: jax.Array,  # (3, 3, C, O) HWIO
+    mesh: Mesh,
+    axis: str = "data",
+) -> jax.Array:
+    """EXACT spatially-sharded 3×3 s1 conv via halo exchange.
+
+    The scaling-book recipe for spatial partitioning: shard W across the
+    mesh, `jax.lax.ppermute` each shard's edge column to its neighbor (one
+    hop — rides ICI), zero the halos at the global image border, and conv
+    locally. Unlike `tiled_inference`'s margin approximation this is
+    bit-equal to the unsharded conv — the building block for sharding
+    whole backbones over images that exceed one chip's HBM.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    n = int(mesh.shape[axis])
+
+    def local(xs, k):
+        # neighbor edge columns: shard i receives i-1's last col (left halo)
+        # and i+1's first col (right halo)
+        left = jax.lax.ppermute(
+            xs[:, :, -1:, :], axis, [(i, (i + 1) % n) for i in range(n)]
+        )
+        right = jax.lax.ppermute(
+            xs[:, :, :1, :], axis, [(i, (i - 1) % n) for i in range(n)]
+        )
+        idx = jax.lax.axis_index(axis)
+        left = jnp.where(idx == 0, jnp.zeros_like(left), left)
+        right = jnp.where(idx == n - 1, jnp.zeros_like(right), right)
+        xp = jnp.concatenate([left, xs, right], axis=2)
+        return jax.lax.conv_general_dilated(
+            xp, k, (1, 1), [(1, 1), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, None, axis, None), P()),
+        out_specs=P(None, None, axis, None),
+    )(x, kernel)
+
+
 def tiled_inference(
     logits_fn: Callable,
     im: jax.Array,  # (1, H, W, C) preprocessed image

@@ -52,3 +52,25 @@ def test_tiled_inference_downsampling_fn():
     logits = tiled_inference(logits_fn, jnp.asarray(im), n, mesh=mesh, margin=16)
     assert logits.shape == (1, 16, 64, n)
     np.testing.assert_array_equal(np.asarray(jnp.argmax(logits, -1)), lb2)
+
+
+def test_halo_conv3x3_exact_vs_unsharded():
+    """shard_map + ppermute halo exchange: bit-equal to the whole-image conv
+    (the margin-free spatial-sharding primitive)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mds_tpu.parallel.mesh import make_mesh
+    from mds_tpu.parallel.spatial import halo_conv3x3
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (1, 16, 64, 8)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.2, (3, 3, 8, 4)), jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x, k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    got = halo_conv3x3(x, k, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
