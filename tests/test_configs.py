@@ -50,6 +50,9 @@ def test_bisenetv2_city_matches_reference_recipe():
     assert c.get("lr", "lr_start") == 5e-3
     assert c.get("train", "cropsize") == [512, 1024]
     assert c.n_cats(0) == 19
+    # reference default: per-GPU local BN (use_sync_bn=False) — selects the
+    # shard_map local-moment step for run-to-run recipe parity
+    assert c.get("use_sync_bn") is False
 
 
 def test_gnn_model_from_7ds_config():
