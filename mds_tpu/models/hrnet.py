@@ -244,6 +244,7 @@ class HRNetW48(nn.Module):
     with_datasets_aux: bool = False
     n_bn: int = 1
     width: int = 48
+    stages: Any = None  # explicit stage dict overrides `width`
     dtype: Dtype = jnp.float32
 
     @property
@@ -271,7 +272,9 @@ class HRNetW48(nn.Module):
         )
 
     def setup(self):
-        stages = HRNET48_STAGES if self.width == 48 else HRNET18_STAGES
+        stages = self.stages or (
+            HRNET48_STAGES if self.width == 48 else HRNET18_STAGES
+        )
         self.backbone = HRNetBackbone(stages=stages, n_bn=self.n_bn, dtype=self.dtype)
         self.proj_head = ProjectionHead(self.output_feat_dim, self.n_bn, self.dtype)
         M, D = self.max_num_unify_class, self.output_feat_dim

@@ -7,9 +7,21 @@ from mds_tpu.models.hrnet import HRNET18_STAGES, HRNetBackbone, HRNetW48
 
 HW = 64
 
+# tiny stage dict: same structure (transitions, modules, fusion) at 1/12 the
+# trace cost — tracing a full W18 costs ~60 s of the fast suite on this
+# 1-core box; the HRNet reference-parity test covers real-weight parity
+TINY_STAGES = {
+    "stage2": dict(num_modules=1, num_branches=2, num_blocks=(1, 1),
+                   num_channels=(4, 8)),
+    "stage3": dict(num_modules=1, num_branches=3, num_blocks=(1, 1, 1),
+                   num_channels=(4, 8, 16)),
+    "stage4": dict(num_modules=1, num_branches=4, num_blocks=(1, 1, 1, 1),
+                   num_channels=(4, 8, 16, 32)),
+}
+
 
 def test_hrnet_backbone_branch_shapes():
-    model = HRNetBackbone(stages=HRNET18_STAGES, n_bn=2)
+    model = HRNetBackbone(stages=TINY_STAGES, n_bn=2)
     xs = [jnp.zeros((1, HW, HW, 3)), jnp.zeros((1, HW, HW, 3))]
     v = jax.eval_shape(
         lambda k: model.init(k, xs, train=False), jax.random.PRNGKey(0)
@@ -17,7 +29,7 @@ def test_hrnet_backbone_branch_shapes():
     outs = jax.eval_shape(
         lambda v, a, b: model.apply(v, [a, b], train=False), v, xs[0], xs[1]
     )
-    chans = HRNET18_STAGES["stage4"]["num_channels"]
+    chans = TINY_STAGES["stage4"]["num_channels"]
     for bi, (branch, c) in enumerate(zip(outs, chans)):
         s = HW // 4 // (2**bi)
         assert branch[0].shape == (1, s, s, c), (bi, branch[0].shape)
@@ -27,7 +39,7 @@ def test_hrnet_backbone_branch_shapes():
 def test_hrnet_w48_model_shapes():
     model = HRNetW48(
         datasets_cats=(3, 4), output_feat_dim=32, unify_ratio=1.0,
-        with_datasets_aux=True, n_bn=2, width=18,
+        with_datasets_aux=True, n_bn=2, stages=TINY_STAGES,
     )
     xs = [jnp.zeros((1, HW, HW, 3)), jnp.zeros((1, HW, HW, 3))]
     v = jax.eval_shape(
@@ -49,7 +61,8 @@ def test_hrnet_w48_model_shapes():
 
 
 def test_hrnet_forward_finite():
-    model = HRNetW48(datasets_cats=(3,), output_feat_dim=16, n_bn=1, width=18)
+    model = HRNetW48(datasets_cats=(3,), output_feat_dim=16, n_bn=1,
+                     stages=TINY_STAGES)
     x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (1, HW, HW, 3)), jnp.float32)
     v = jax.jit(lambda k: model.init(k, [x], train=False))(jax.random.PRNGKey(0))
     feats = jax.jit(
