@@ -277,3 +277,70 @@ def test_fs_segfix_helpers():
     assert d[0, 1] == -1  # ignore
     assert d[0, 0] == 0 and d[1, 1] == 7
     assert d[1, 0] == 4  # 0 deg → sector 4 of 8 ([-180,180) shifted)
+
+
+def test_cross_datasets_kmeans_loss():
+    """KMeans-era loss (ref loss_cross_datasets.py:349-660): warmup multi-hot
+    NLL, main-phase bank enqueue + prototype EMA refresh + sharpened masks."""
+    import jax
+
+    from mds_tpu.config import Configer
+    from mds_tpu.losses.contrast import MemoryBank
+    from mds_tpu.losses.cross_datasets_kmeans import (
+        CrossDatasetsCELossKMeans,
+        multi_hot_nll,
+        update_prototypes,
+    )
+
+    cfg = Configer(configs={
+        "n_datasets": 2,
+        "num_unify_classes": 6,
+        "dataset1": {"n_cats": 3}, "dataset2": {"n_cats": 4},
+        "loss": {"ignore_index": 255, "reweight": False, "aux_weight": 0.4},
+        "contrast": {"num_prototype": 1, "coefficient": 0.9,
+                     "loss_weight": 0.5, "use_contrast": True,
+                     "update_sim_thresh": 0.3, "temperature": 0.07},
+        "network": {"stride": 2},
+        "lr": {"max_iter": 10},
+        "class_remap1": {"0": [0], "1": [1, 2], "2": [3]},
+        "class_remap2": {"0": [0], "1": [4], "2": [5], "3": [1]},
+    })
+    crit = CrossDatasetsCELossKMeans(cfg)
+    rng = np.random.default_rng(0)
+    B, H, W, D, U = 1, 8, 8, 4, 6
+    lbs = [jnp.asarray(rng.integers(0, 3, (B, H, W)), jnp.int32),
+           jnp.asarray(rng.integers(0, 4, (B, H, W)), jnp.int32)]
+    seg = [jnp.asarray(rng.normal(0, 1, (B, H, W, U)), jnp.float32)
+           for _ in range(2)]
+    emb = [jnp.asarray(rng.normal(0, 1, (B, H // 2, W // 2, D)), jnp.float32)
+           for _ in range(2)]
+    emb = [e / jnp.linalg.norm(e, axis=-1, keepdims=True) for e in emb]
+    bank = MemoryBank.create(U, 4, D)
+    protos = jnp.asarray(rng.normal(0, 1, (U, D)), jnp.float32)
+    protos = protos / jnp.linalg.norm(protos, axis=-1, keepdims=True)
+
+    # warmup: bank still fills, seg loss only
+    loss_w, m_w, bank2, protos2 = crit(
+        {"seg": seg, "embed": emb}, lbs, bank, protos, is_warmup=True
+    )
+    assert np.isfinite(float(loss_w)) and float(m_w["contrast_loss"]) == 0.0
+    assert (np.asarray(bank2.ptr) != np.asarray(bank.ptr)).any()
+
+    # main phase: contrast term live, prototypes refreshed + unit-norm
+    loss_m, m_m, bank3, protos3 = crit(
+        {"seg": seg, "embed": emb}, lbs, bank2, protos2, cur_iter=5
+    )
+    assert np.isfinite(float(loss_m)) and float(m_m["contrast_loss"]) > 0.0
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(protos3), axis=-1), 1.0, atol=1e-5
+    )
+    assert not np.allclose(np.asarray(protos3), np.asarray(protos2))
+
+    # multi_hot_nll: empty-mask pixels excluded; perfect logits → ~0 loss
+    logits = jnp.asarray([[10.0, -10, -10], [0, 0, 0]], jnp.float32)
+    mask = jnp.asarray([[True, False, False], [False, False, False]])
+    assert float(multi_hot_nll(logits, mask)) < 1e-3
+
+    # update_prototypes is an EMA toward the bank mean
+    p2 = update_prototypes(bank3, protos3, 1.0)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(protos3), atol=1e-5)
