@@ -103,7 +103,7 @@ def make_seg_train_step(
     grad_fn = jax.grad(loss_fn, has_aux=True)
     if local_bn:
         assert mesh is not None, "local_bn needs the data mesh"
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         def local_grad(params, batch_stats, ims, lbs, rng):

@@ -55,7 +55,7 @@ def halo_conv3x3(
     bit-equal to the unsharded conv — the building block for sharding
     whole backbones over images that exceed one chip's HBM.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n = int(mesh.shape[axis])
 

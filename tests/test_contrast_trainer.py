@@ -34,11 +34,11 @@ def tiny_configer(use_ema=True):
     })
 
 
-def make_batch(rng, cats=(3, 4)):
+def make_batch(rng, cats=(3, 4), hw=HW):
     ims, lbs = [], []
     for c in cats:
-        ims.append(rng.integers(0, 256, (1, HW, HW, 3)).astype(np.uint8))
-        lbs.append(rng.integers(0, c, (1, HW, HW)).astype(np.uint8))
+        ims.append(rng.integers(0, 256, (1, hw, hw, 3)).astype(np.uint8))
+        lbs.append(rng.integers(0, c, (1, hw, hw)).astype(np.uint8))
     return {"ims": ims, "lbs": lbs}
 
 
@@ -85,11 +85,13 @@ def test_contrast_trainer_e2e(tmp_path):
     assert np.isfinite(m["loss"])
 
 
-def test_contrast_warmup_gate():
+def test_contrast_warmup_gate(tmp_path):
     """contrast weight is 0 before lr.warmup_iters, loss_weight after."""
-    t = ContrastTrainer(tiny_configer(use_ema=False), work_dir="/tmp/ct_gate")
+    cfg = tiny_configer(use_ema=False)
+    cfg.update(["train", "cropsize"], [32, 32])  # smallest /32-safe crop
+    t = ContrastTrainer(cfg, work_dir=str(tmp_path))
     rng = np.random.default_rng(2)
-    b = make_batch(rng)
+    b = make_batch(rng, hw=32)
     m0 = t.step(b, it=0)
     assert abs(m0["loss"] - m0["seg_loss"]) < 1e-4  # gated off
     m1 = t.step(b, it=5)
