@@ -201,7 +201,7 @@ class ClassRemapOneHotLabel(ClassRemap):
         )
 
     def ContrastRemapping(self, labels, embed, proto, dataset_id: int,
-                          cur_iter: int = 0):
+                          cur_iter: int = 0, sim=None):
         """→ (contrast_mask (B,h,w,U·P) bool, seg_mask (B,H,W,U) bool).
 
         Multi-mapped pixels take the prototype-similarity argmax within
@@ -224,9 +224,14 @@ class ClassRemapOneHotLabel(ClassRemap):
         adm = multi_only[clb]  # (B,h,w,U) admissible set per pixel
         adm_p = jnp.repeat(adm, P, axis=-1)  # (B,h,w,U·P)
 
-        embed = jax.lax.stop_gradient(jnp.asarray(embed, jnp.float32))
-        proto = jax.lax.stop_gradient(jnp.asarray(proto, jnp.float32))
-        sim = jnp.einsum("bhwd,ud->bhwu", embed, proto)  # (B,h,w,U·P)
+        if sim is None:
+            embed = jax.lax.stop_gradient(jnp.asarray(embed, jnp.float32))
+            proto = jax.lax.stop_gradient(jnp.asarray(proto, jnp.float32))
+            sim = jnp.einsum("bhwd,ud->bhwu", embed, proto)  # (B,h,w,U·P)
+        else:
+            # caller-precomputed logits (the reference passes proto_logits
+            # into MultiProtoRemapping, loss_cross_datasets.py:449-455)
+            sim = jax.lax.stop_gradient(jnp.asarray(sim, jnp.float32))
         sim = jnp.where(adm_p, sim, -jnp.inf)
         max_sim = jnp.max(sim, axis=-1)
         assign = jnp.argmax(sim, axis=-1)  # slot in [0, U·P)

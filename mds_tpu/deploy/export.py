@@ -57,14 +57,19 @@ def save_exported(blob: bytes, path: str) -> None:
         f.write(blob)
 
 
-def load_exported(path: str):
-    """Deserialize and return a callable (the 'deserialize engine' role,
-    trt_dep.cpp:118-139)."""
+def load_exported_obj(path: str):
+    """Deserialize to the jax.export Exported object (exposes .call and
+    .in_avals — one read serves both execution and shape queries)."""
     from jax import export as jexport
 
     with open(path, "rb") as f:
-        exported = jexport.deserialize(f.read())
-    return exported.call
+        return jexport.deserialize(f.read())
+
+
+def load_exported(path: str):
+    """Deserialize and return a callable (the 'deserialize engine' role,
+    trt_dep.cpp:118-139)."""
+    return load_exported_obj(path).call
 
 
 def stablehlo_text(model, variables, input_hw: Tuple[int, int],

@@ -219,7 +219,8 @@ class ContrastTrainer:
 
     # ------------------------------------------------------------ persistence
     def _extras(self):
-        extras = {"bank_feats": self.bank.feats, "bank_ptr": self.bank.ptr}
+        extras = {"bank_feats": self.bank.feats, "bank_ptr": self.bank.ptr,
+                  "bank_count": self.bank.count}
         if self.teacher is not None:
             extras["teacher"] = self.teacher
         return extras
@@ -235,14 +236,13 @@ class ContrastTrainer:
         self.ckpt.wait()
 
     def restore(self):
-        extras = {"bank_feats": self.bank.feats, "bank_ptr": self.bank.ptr}
-        if self.teacher is not None:
-            extras["teacher"] = self.teacher
+        extras = self._extras()
         self.state, extras = self.ckpt.restore(
             self.state, abstract_extras=extras
         )
         self.bank = MemoryBank(
-            feats=extras["bank_feats"], ptr=extras["bank_ptr"]
+            feats=extras["bank_feats"], ptr=extras["bank_ptr"],
+            count=extras["bank_count"],
         )
         if self.teacher is not None:
             self.teacher = extras["teacher"]

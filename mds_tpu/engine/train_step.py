@@ -121,7 +121,7 @@ def make_seg_train_step(
             local_grad, mesh=mesh,
             in_specs=(P(), P(), P("data"), P("data"), P()),
             out_specs=P(),
-            check_rep=False,
+            check_vma=False,  # jax 0.9 name (0.8's check_rep)
         )
     else:
         compute_grads = grad_fn

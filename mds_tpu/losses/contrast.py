@@ -83,17 +83,25 @@ def contrastive_loss(
 
 
 class MemoryBank(NamedTuple):
-    """Per-class circular feature queues (memory_bank_helper.py)."""
+    """Per-class circular feature queues (memory_bank_helper.py).
+    `count` tracks how many REAL features each class queue holds (saturates
+    at M) — the memory_bank_init role of the reference, letting consumers
+    mask out the placeholder init slots."""
 
     feats: jax.Array  # (C, M, D)
     ptr: jax.Array  # (C,) int32
+    count: jax.Array  # (C,) int32, ≤ M
 
     @staticmethod
     def create(n_classes: int, memory_size: int, dim: int) -> "MemoryBank":
         f = jnp.zeros((n_classes, memory_size, dim), jnp.float32)
         # unit-norm random init so early negatives are well-conditioned
         f = f.at[:, :, 0].set(1.0)
-        return MemoryBank(feats=f, ptr=jnp.zeros(n_classes, jnp.int32))
+        return MemoryBank(
+            feats=f,
+            ptr=jnp.zeros(n_classes, jnp.int32),
+            count=jnp.zeros(n_classes, jnp.int32),
+        )
 
 
 def memory_bank_push(
@@ -118,7 +126,10 @@ def memory_bank_push(
         jnp.where(present[:, None], means, bank.feats[jnp.arange(C), bank.ptr])
     )
     new_ptr = jnp.where(present, (bank.ptr + 1) % M, bank.ptr)
-    return MemoryBank(feats=new_feats, ptr=new_ptr)
+    new_count = jnp.where(
+        present, jnp.minimum(bank.count + 1, M), bank.count
+    )
+    return MemoryBank(feats=new_feats, ptr=new_ptr, count=new_count)
 
 
 class PixelContrastLoss:

@@ -43,9 +43,10 @@ def main():
     }
 
     im = np.asarray(Image.open(args.img).convert("RGB"))
-    orig_hw = im.shape[:2]
     if args.size:
         im = resize_image(im, tuple(args.size))
+    # the label map comes back at this size: --size if given, else original
+    target_hw = tuple(args.size) if args.size else im.shape[:2]
     # round to /32 — BiSeNetV2's BGA merges the 1/8 detail and ×4-upsampled
     # 1/32 segment paths, so other sizes shape-mismatch (the reference
     # rounds eval sizes the same way, evaluate.py get_round_size :43)
@@ -63,11 +64,11 @@ def main():
     pred = np.asarray(
         model.apply(variables, x, dataset=args.dataset, method=model.pred)
     )[0]
-    if pred.shape != orig_hw and not args.size:
-        # nearest-resize the label map back to the original frame size
+    if pred.shape != tuple(target_hw):
+        # nearest-resize the label map back to the requested frame size
         pred = np.asarray(
             Image.fromarray(pred.astype(np.uint8)).resize(
-                (orig_hw[1], orig_hw[0]), Image.NEAREST
+                (target_hw[1], target_hw[0]), Image.NEAREST
             )
         )
 

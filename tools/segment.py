@@ -55,17 +55,15 @@ def cmd_run(args):
     import numpy as np
     from PIL import Image
 
-    from mds_tpu.deploy.export import load_exported
+    from mds_tpu.deploy.export import load_exported_obj
 
-    call = load_exported(args.engine)
+    exported = load_exported_obj(args.engine)
+    call = exported.call
     im = np.asarray(Image.open(args.img).convert("RGB"))
     h, w = im.shape[:2]
     # the engine is compiled at a FIXED input size (reference fixes the
     # export size too) — resize in, nearest-resize the label map back out
-    from jax import export as jexport
-
-    with open(args.engine, "rb") as f:
-        eh, ew = jexport.deserialize(f.read()).in_avals[0].shape[1:3]
+    eh, ew = exported.in_avals[0].shape[1:3]
     if (h, w) != (eh, ew):
         im_in = np.asarray(
             Image.fromarray(im).resize((ew, eh), Image.BILINEAR)
@@ -87,15 +85,10 @@ def cmd_test(args):
     import jax.numpy as jnp
     import numpy as np
 
-    from mds_tpu.deploy.export import load_exported
+    from mds_tpu.deploy.export import load_exported_obj
 
-    call = load_exported(args.engine)
-    # input size from the exported signature: probe with growing guesses is
-    # unnecessary — jax.export stores in_avals
-    from jax import export as jexport
-
-    with open(args.engine, "rb") as f:
-        exported = jexport.deserialize(f.read())
+    exported = load_exported_obj(args.engine)
+    call = exported.call
     shape = exported.in_avals[0].shape
     im = jnp.asarray(
         np.random.default_rng(0).integers(0, 256, shape), jnp.uint8
