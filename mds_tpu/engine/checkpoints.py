@@ -35,10 +35,15 @@ class CheckpointManager:
         )
 
     def maybe_save(self, state: TrainState, extras: Optional[dict] = None,
-                   force: bool = False) -> bool:
-        step = int(state.step)
+                   force: bool = False, step: Optional[int] = None) -> bool:
+        """`step` overrides the checkpoint id (default: the state's step) —
+        used by trainers whose save cadence is not the state's own step
+        counter (e.g. the alternating trainer's global iteration)."""
+        step = int(state.step) if step is None else int(step)
         if not force and (step == 0 or step % self.save_interval != 0):
             return False
+        if step in (self.mngr.all_steps() or []):
+            return False  # already checkpointed at this id
         payload = {"state": state}
         if extras:
             payload["extras"] = extras

@@ -126,6 +126,11 @@ class AlternatingTrainer:
         self.uot_bi: Optional[List[np.ndarray]] = None
         self.stage = GNN
         self.alter_iter = 0
+        # global iteration counter (the reference keeps it in the configer,
+        # tools/configer.py:224 plus_one('iter'); drives CLI resume + the
+        # checkpoint step id)
+        self.total_iter = 0
+        self._mngrs: Dict[str, object] = {}
         # init phase (reference :416-431 + init_gnn_stage losses): distill the
         # GNN toward identity graphs + the seg model's current prototypes for
         # lr.init_iter steps before normal alternation
@@ -400,14 +405,51 @@ class AlternatingTrainer:
         self.stage = GNN
         self.alter_iter = 0
 
+    def finetune_from(self, path: str):
+        """Seg-model weight init (reference `--finetune_from` on the GNN
+        trainers, train_ltbgnn_all_datasets_snp.py:691-697): a reference
+        `.pth` SemsegModel checkpoint (incl. its learned bipartite graphs)
+        or an orbax dir written by this trainer's save()."""
+        if path.endswith((".pth", ".pt")):
+            import torch
+
+            from mds_tpu.deploy import torch_import as ti
+
+            sd = torch.load(path, map_location="cpu")
+            if isinstance(sd, dict) and "model_state_dict" in sd:
+                sd = sd["model_state_dict"]
+            params, stats, buffers = ti.semseg_from_torch(sd)
+            self.seg_state = self.seg_state.replace(
+                params=jax.tree_util.tree_map(jnp.asarray, params),
+                batch_stats=jax.tree_util.tree_map(jnp.asarray, stats),
+            )
+            if buffers:
+                self.seg_buffers = jax.tree_util.tree_map(jnp.asarray, buffers)
+        else:
+            self.restore(path)
+            # weights only: restart the schedule/stage machine
+            self.seg_state = self.seg_state.replace(
+                opt_state=self.seg_tx.init(self.seg_state.params),
+                step=jnp.asarray(0, jnp.int32),
+            )
+            self.total_iter = 0
+            self.alter_iter = 0
+
     # -------------------------------------------------------------- persistence
+    def _mngr(self, directory: str):
+        from mds_tpu.engine.checkpoints import CheckpointManager
+
+        if directory not in self._mngrs:
+            self._mngrs[directory] = CheckpointManager(directory, save_interval=1)
+        return self._mngrs[directory]
+
     def save(self, directory: str, step: Optional[int] = None):
         """Checkpoint both model states + the host-side stage machine
         (reference saves {model, optimizer, scheduler} dicts every 10k,
-        tools/train_ltbgnn_all_datasets_snp.py:530-546)."""
-        from mds_tpu.engine.checkpoints import CheckpointManager
-
-        mngr = CheckpointManager(directory, save_interval=1)
+        tools/train_ltbgnn_all_datasets_snp.py:530-546). The checkpoint step
+        id is the GLOBAL alternating iteration (total_iter), not the seg
+        step — the seg step stalls during GNN stages."""
+        mngr = self._mngr(directory)
         extras = {
             "gnn_state": self.gnn_state,
             "buffers": self.seg_buffers,
@@ -420,16 +462,15 @@ class AlternatingTrainer:
                 "stage": 0 if self.stage == SEG else 1,
                 "alter_iter": self.alter_iter,
                 "init_iters": self.init_iters,
+                "total_iter": self.total_iter,
             },
         }
-        step = step if step is not None else int(self.seg_state.step)
-        mngr.maybe_save(self.seg_state, extras=extras, force=True)
+        step = step if step is not None else self.total_iter
+        mngr.maybe_save(self.seg_state, extras=extras, force=True, step=step)
         mngr.wait()
 
     def restore(self, directory: str):
-        from mds_tpu.engine.checkpoints import CheckpointManager
-
-        mngr = CheckpointManager(directory, save_interval=1)
+        mngr = self._mngr(directory)
         abstract_extras = {
             "gnn_state": self.gnn_state,
             "buffers": self.seg_buffers,
@@ -438,7 +479,8 @@ class AlternatingTrainer:
                 {str(i): np.zeros_like(self.seg_buffers[f"bi_graph_{i}"])
                  for i in range(self.n)}
             ),
-            "meta": {"stage": 0, "alter_iter": 0, "init_iters": 0},
+            "meta": {"stage": 0, "alter_iter": 0, "init_iters": 0,
+                     "total_iter": 0},
         }
         state, extras = mngr.restore(self.seg_state, abstract_extras)
         self.seg_state = state
@@ -453,6 +495,14 @@ class AlternatingTrainer:
         self.stage = SEG if int(meta["stage"]) == 0 else GNN
         self.alter_iter = int(meta["alter_iter"])
         self.init_iters = int(meta["init_iters"])
+        self.total_iter = int(meta.get("total_iter", 0))
+
+    def latest_step(self, directory: str) -> Optional[int]:
+        import os
+
+        if not os.path.isdir(directory):
+            return None
+        return self._mngr(directory).latest_step()
 
     # ------------------------------------------------------------------ loop
     def step(self, batch, rng=None) -> Dict[str, float]:
@@ -461,6 +511,7 @@ class AlternatingTrainer:
         `train.mode` ∈ {alternate, seg, gnn} covers the reference's
         train_ltbgnn_* / train_gnn_only / *_segonly script family."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.total_iter += 1
         if self.init_iters > 0:
             self.init_iters -= 1
             self.gnn_state, metrics = self._init_step(

@@ -151,8 +151,14 @@ def make_seg_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
-def init_train_state(model, tx, sample_ims, rng=None) -> TrainState:
-    """Initialize params/stats/optimizer for a per-dataset sample batch."""
+def init_train_state(model, tx, sample_ims, rng=None, with_buffers: bool = False):
+    """Initialize params/stats/optimizer for a per-dataset sample batch.
+
+    with_buffers=True also returns the flax 'buffers' collection (the
+    non-trainable bipartite graphs of prototype models — requires_grad=False
+    ParameterLists in the reference, lib/models/semseg.py:288-293) as a
+    second value; callers must thread it through apply/eval themselves.
+    """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(rng)
     variables = model.init(
@@ -161,9 +167,12 @@ def init_train_state(model, tx, sample_ims, rng=None) -> TrainState:
         train=True,
     )
     params = variables["params"]
-    return TrainState(
+    state = TrainState(
         params=params,
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(params),
         step=jnp.asarray(0, jnp.int32),
     )
+    if with_buffers:
+        return state, variables.get("buffers", {})
+    return state

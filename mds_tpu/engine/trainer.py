@@ -93,11 +93,16 @@ class Trainer:
         sample = [
             np.zeros((1, crop[0], crop[1], 3), np.float32) for _ in range(n)
         ]
-        self.state = init_train_state(self.model, self.tx, sample)
+        self.state, self.buffers = init_train_state(
+            self.model, self.tx, sample, with_buffers=True
+        )
         self.state = replicate(self.state, self.mesh)
-        # flax 'buffers' collection (bipartite graphs for prototype models);
-        # populated by finetune_from on snp checkpoints
-        self.buffers: Dict[str, Any] = {}
+        # flax 'buffers' collection (bipartite graphs for prototype models;
+        # requires_grad=False ParameterLists in the reference, semseg.py:288);
+        # overwritten by finetune_from on snp checkpoints and persisted in
+        # the checkpoint extras
+        if self.buffers:
+            self.buffers = replicate(self.buffers, self.mesh)
 
         means, stds = dataset_stats(configer)
         # use_sync_bn=False (the reference's default, configs/bisenetv2_city
@@ -116,10 +121,33 @@ class Trainer:
             save_interval=int(configer.get("train", "ckpt_interval", default=1000)),
         )
 
+    def _ckpt_extras(self) -> Optional[Dict[str, Any]]:
+        return {"buffers": self.buffers} if self.buffers else None
+
     def restore_if_available(self):
-        if self.ckpt.latest_step() is not None:
-            self.state, _ = self.ckpt.restore(self.state)
-            self.logger.info(f"restored checkpoint at step {int(self.state.step)}")
+        if self.ckpt.latest_step() is None:
+            return
+        try:
+            self.state, extras = self.ckpt.restore(
+                self.state, abstract_extras=self._ckpt_extras()
+            )
+        except Exception:
+            # pre-r3 checkpoints lack the buffers extras — restore state only
+            self.state, extras = self.ckpt.restore(self.state)
+            self.logger.warning(
+                "checkpoint has no 'buffers' extras; bipartite graphs keep "
+                "their init values"
+            )
+        if extras and extras.get("buffers"):
+            self.buffers = extras["buffers"]
+        self.logger.info(f"restored checkpoint at step {int(self.state.step)}")
+
+    def variables(self) -> Dict[str, Any]:
+        """Full eval-ready variables dict (params + batch_stats + buffers)."""
+        v = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        if self.buffers:
+            v["buffers"] = self.buffers
+        return v
 
     def finetune_from(self, path: str):
         """Load weights only (reference `--finetune_from`,
@@ -258,12 +286,12 @@ class Trainer:
                         it + 1, {"seg": float(metrics["loss"]), "lr": lr},
                         group="loss",
                     )
-                self.ckpt.maybe_save(self.state)
+                self.ckpt.maybe_save(self.state, extras=self._ckpt_extras())
         finally:
             metrics_writer.close()
             if hasattr(loader, "close"):
                 loader.close()
-        self.ckpt.maybe_save(self.state, force=True)
+        self.ckpt.maybe_save(self.state, extras=self._ckpt_extras(), force=True)
         self.ckpt.wait()
         return self.state
 

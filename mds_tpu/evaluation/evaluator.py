@@ -66,15 +66,19 @@ def resize_bilinear_ac(x: jax.Array, size_hw: Tuple[int, int]) -> jax.Array:
 
 
 def confusion_hist(
-    label: jax.Array, pred: jax.Array, n_classes: int, ignore: int = 255
+    label: jax.Array, pred: jax.Array, n_classes: int, ignore: int = 255,
+    n_pred: Optional[int] = None,
 ) -> jax.Array:
-    """(n,n) confusion counts, rows = label, cols = pred (evaluate.py:92-96)."""
+    """(n_classes, n_pred) confusion counts, rows = label, cols = pred
+    (evaluate.py:92-96; the rectangular label×unified-slot form feeds the
+    find-unuse audit, evaluate.py:1736-1744)."""
+    n_pred = n_classes if n_pred is None else n_pred
     label = label.reshape(-1).astype(jnp.int32)
     pred = pred.reshape(-1).astype(jnp.int32)
     keep = label != ignore
-    idx = jnp.where(keep, label * n_classes + pred, n_classes * n_classes)
-    flat = jnp.zeros((n_classes * n_classes + 1,), jnp.int32).at[idx].add(1)
-    return flat[:-1].reshape(n_classes, n_classes)
+    idx = jnp.where(keep, label * n_pred + pred, n_classes * n_pred)
+    flat = jnp.zeros((n_classes * n_pred + 1,), jnp.int32).at[idx].add(1)
+    return flat[:-1].reshape(n_classes, n_pred)
 
 
 def compute_ious(hist: np.ndarray):
@@ -197,21 +201,58 @@ class MscEvalCrop:
         self.ignore_label = lb_ignore
         self._jit_cache = {}
 
-    def _chip_fn(self, logits_fn, dataset_id, chip_shape):
-        key = ("chip", chip_shape, dataset_id)
-        if key not in self._jit_cache:
+    def _windows(self, H: int, W: int) -> List[Tuple[int, int]]:
+        """Static sliding-window offsets (evaluate.py:697-708 loop bounds)."""
+        cropH, cropW = self.cropsize
+        strdH = math.ceil(cropH * self.cropstride)
+        strdW = math.ceil(cropW * self.cropstride)
+        n_h = math.ceil((H - cropH) / strdH) + 1
+        n_w = math.ceil((W - cropW) / strdW) + 1
+        return [
+            (min(strdH * i, H - cropH), min(strdW * j, W - cropW))
+            for i in range(n_h)
+            for j in range(n_w)
+        ]
 
-            def run(chip):
-                prob = jax.nn.softmax(logits_fn(chip, dataset_id), axis=-1)
+    def _batched_crop_fn(self, logits_fn, dataset_id, pad_shape, n_classes):
+        """One jitted pass over ALL windows of a scale: gather chips →
+        (n_win·N, cH, cW, C) batch through logits_fn → on-device scatter-add
+        of the window probs. Replaces the per-window host loop (~n_win
+        dispatches/scale → 1)."""
+        key = ("crop", pad_shape, dataset_id, n_classes)
+        if key not in self._jit_cache:
+            N, H, W, C = pad_shape
+            cropH, cropW = self.cropsize
+            windows = self._windows(H, W)
+
+            def run(padded):
+                chips = jnp.concatenate(
+                    [
+                        jax.lax.dynamic_slice(
+                            padded, (0, sh, sw, 0), (N, cropH, cropW, C)
+                        )
+                        for sh, sw in windows
+                    ],
+                    axis=0,
+                )
+                logits = logits_fn(chips, dataset_id)
+                if logits.shape[1:3] != (cropH, cropW):
+                    # prototype models emit 1/4-res logits; lift to chip res
+                    logits = resize_bilinear_ac(logits, (cropH, cropW))
+                prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
                 if self.flip:
-                    p2 = jax.nn.softmax(
-                        logits_fn(chip[:, :, ::-1, :], dataset_id)[:, :, ::-1, :],
-                        axis=-1,
-                    )
+                    lg = logits_fn(chips[:, :, ::-1, :], dataset_id)[:, :, ::-1, :]
+                    if lg.shape[1:3] != (cropH, cropW):
+                        lg = resize_bilinear_ac(lg, (cropH, cropW))
                     # parity quirk kept: the reference exponentiates the
                     # flip-summed prob (evaluate.py:686-688) — argmax-invariant
-                    prob = jnp.exp(prob + p2)
-                return prob
+                    prob = jnp.exp(prob + jax.nn.softmax(lg.astype(jnp.float32), -1))
+                out = jnp.zeros((N, H, W, prob.shape[-1]), jnp.float32)
+                for i, (sh, sw) in enumerate(windows):
+                    out = out.at[:, sh : sh + cropH, sw : sw + cropW].add(
+                        prob[i * N : (i + 1) * N]
+                    )
+                return out
 
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key]
@@ -223,21 +264,10 @@ class MscEvalCrop:
         hst, wst = (padH - H0) // 2, (padW - W0) // 2
         padded = np.zeros((N, padH, padW, C), np.float32)
         padded[:, hst : hst + H0, wst : wst + W0] = im
-        H, W = padH, padW
-        strdH = math.ceil(cropH * self.cropstride)
-        strdW = math.ceil(cropW * self.cropstride)
-        n_h = math.ceil((H - cropH) / strdH) + 1
-        n_w = math.ceil((W - cropW) / strdW) + 1
-        prob = np.zeros((N, H, W, n_classes), np.float32)
-        chip_fn = self._chip_fn(logits_fn, dataset_id, (N, cropH, cropW, C))
-        for i in range(n_h):
-            for j in range(n_w):
-                stH = min(strdH * i, H - cropH)
-                stW = min(strdW * j, W - cropW)
-                chip = jnp.asarray(padded[:, stH : stH + cropH, stW : stW + cropW])
-                prob[:, stH : stH + cropH, stW : stW + cropW] += np.asarray(
-                    chip_fn(chip)
-                )
+        fn = self._batched_crop_fn(
+            logits_fn, dataset_id, (N, padH, padW, C), n_classes
+        )
+        prob = np.asarray(fn(jnp.asarray(padded)))
         return prob[:, hst : hst + H0, wst : wst + W0]
 
     def __call__(self, logits_fn, loader, n_classes: int, dataset_id: int = 0,
@@ -288,37 +318,90 @@ def _psum_hist(hist: np.ndarray) -> np.ndarray:
     return np.asarray(total)
 
 
-def make_logits_fn(model, variables, mean, std):
-    """Close model.eval_logits over params with on-device normalization.
+def make_logits_fn(model, variables, mean, std, method=None, **method_kwargs):
+    """Close a model eval method over its variables, with on-device
+    normalization fused in front (the reference's E2EModel role,
+    tools/demo.py:703-710).
 
-    Input is raw uint8-scale NHWC float; normalization (÷255, mean/std) is
-    fused into the graph like the reference's E2EModel (tools/demo.py:703-710).
+    `variables` must carry every collection the model's method reads —
+    including the flax 'buffers' collection (bipartite graphs) for prototype
+    models (SemsegModel & co).
+    `method` is a bound method, a method NAME on the model, or None for the
+    default `model.eval_logits` (aux_mode='eval').
     """
     mean = jnp.asarray(mean, jnp.float32)
     std = jnp.asarray(std, jnp.float32)
+    if method is None:
+        method = model.eval_logits
+    elif isinstance(method, str):
+        method = getattr(model, method)
 
     def logits_fn(im, dataset):
         x = (im / 255.0 - mean.reshape(1, 1, 1, 3)) / std.reshape(1, 1, 1, 3)
-        return model.apply(variables, x, dataset=dataset, method=model.eval_logits)
+        return model.apply(
+            variables, x, dataset=dataset, method=method, **method_kwargs
+        )
 
     return logits_fn
 
 
-def eval_model(configer, model, variables, loaders, mode: str = "ss"):
+# eval mode → (model method driven over the loader, label-space protocol).
+# Reference drivers: ss/ssc/msf/mscf = eval_model :907 (+the commented crop/
+# msf blocks restored per the README protocol table); contrast = :1107;
+# label_link = :1464; uni = :1425 (aux_mode 'eval' with n_cats+1 hist bins);
+# unseen = :1346; clip = :1386; emb = :1560 (pred_by_emb).
+EVAL_MODES = (
+    "ss", "ssc", "msf", "mscf", "contrast", "label_link", "uni", "unseen",
+    "clip", "emb", "aux",
+)
+
+
+def _make_evaluator(configer, mode: str):
+    eval_scales = tuple(
+        configer.get("eval_scales", default=[0.5, 0.75, 1.0, 1.25, 1.5, 1.75])
+    )
+    eval_crop = configer.get(
+        "eval_crop", default=configer.get("train", "cropsize", default=[1024, 1024])
+    )
+    if mode in ("ss", "aux"):
+        return MscEvalV0(scales=(1.0,), flip=False)
+    if mode == "msf":
+        return MscEvalV0(scales=eval_scales, flip=True)
+    if mode == "ssc":
+        return MscEvalCrop(
+            cropsize=eval_crop, cropstride=2.0 / 3, flip=False, scales=(1.0,)
+        )
+    if mode == "mscf":
+        return MscEvalCrop(
+            cropsize=eval_crop, cropstride=2.0 / 3, flip=True, scales=eval_scales
+        )
+    if mode == "contrast":
+        return MscEvalV0Contrast(scales=(0.5,), flip=False)
+    if mode in ("label_link", "uni", "unseen", "clip", "emb"):
+        return MscEvalV0Contrast(scales=(1.0,), flip=False)
+    raise ValueError(f"unknown eval mode {mode!r} (choose from {EVAL_MODES})")
+
+
+def eval_model(configer, model, variables, loaders, mode: str = "ss",
+               method_kwargs: Optional[dict] = None):
     """Per-dataset mIoU table (reference: evaluate.py drivers — eval_model
-    :907, eval_model_contrast :1107, eval_model_mulbn/dsg; modes ss/msf per
-    the README protocol, 'contrast' = the GNN-era label-downsample protocol
-    over bipartite-remapped logits)."""
+    :907, eval_model_contrast :1107, eval_model_uni/unseen/clip/label_link/
+    emb :1346-1560).
+
+    Modes: ss/ssc/msf/mscf (the README protocol columns), contrast (GNN-era
+    label-downsample protocol over remapped logits), uni (remapped logits
+    with an n_cats+1 hist — reference quirk :1456), unseen (hard-argmax
+    one-hot remap), clip (dataset-row prototype logits), label_link, emb
+    (contrast-prototype similarity), aux (full-res protocol on aux models).
+    """
     from mds_tpu.data.labels import get_spec
 
-    if mode == "ss":
-        ev = MscEvalV0(scales=(1.0,), flip=False)
-    elif mode == "msf":
-        ev = MscEvalV0(scales=(0.5, 0.75, 1.0, 1.25, 1.5, 1.75), flip=True)
-    elif mode == "contrast":
-        ev = MscEvalV0Contrast(scales=(0.5,), flip=False)
-    else:
-        raise ValueError(mode)
+    ev = _make_evaluator(configer, mode)
+    method = {
+        "unseen": "unseen_pred_logits",
+        "clip": "clip_logits",
+        "emb": "emb_logits",
+    }.get(mode)
     mious = []
     for i, loader in enumerate(loaders):
         spec_name = configer.dataset_cfg(i).get("spec", None)
@@ -327,7 +410,9 @@ def eval_model(configer, model, variables, loaders, mode: str = "ss"):
             mean, std = spec.mean, spec.std
         else:
             mean, std = np.zeros(3, np.float32), np.ones(3, np.float32)
-        logits_fn = make_logits_fn(model, variables, mean, std)
-        n_cats = configer.n_cats(i)
+        logits_fn = make_logits_fn(
+            model, variables, mean, std, method=method, **(method_kwargs or {})
+        )
+        n_cats = configer.n_cats(i) + (1 if mode == "uni" else 0)
         mious.append(ev(logits_fn, loader, n_cats, i))
     return mious

@@ -158,6 +158,23 @@ class BiSeNetV2Contrast(nn.Module):
     def pred(self, x, dataset: int = 0):
         return jnp.argmax(self.eval_logits(x, dataset), axis=-1)
 
+    def emb_logits(self, x, dataset: int = 0, *, prototypes=None):
+        """aux_mode='pred_by_emb' (bisenetv2_contrast.py:589-617): similarity
+        of the projection embedding to (U, K, D) contrast prototypes; the
+        per-class max over the K prototypes makes argmax equal the
+        reference's `(MaxSimIndex / num_prototype).long()`. `prototypes`
+        come from the trainer's memory-bank class means (our bank replaces
+        the reference's in-module prototype buffer)."""
+        feat_head, _ = self.backbone(
+            as_multi(x, dataset, self.n_bn), train=False
+        )
+        emb = self.proj_head(feat_head[dataset], train=False)
+        sim = jnp.einsum(
+            "bhwc,ukc->bhwuk", emb, jnp.asarray(prototypes, emb.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.max(sim, axis=-1)
+
 
 @MODELS.register("bisenetv2_contrast")
 def bisenetv2_contrast(configer=None, **kw):

@@ -88,13 +88,56 @@ def main():
 
         logger = setup_logger("mds_tpu_gnn", args.work_dir)
         trainer = AlternatingTrainer(configer)
+        # persistence + periodic eval (reference saves every 10k iters and
+        # evals at stage switches, train_ltbgnn_all_datasets_snp.py:530-569)
+        ckpt_dir = os.path.join(args.work_dir, "ckpt_gnn")
+        ckpt_interval = int(
+            configer.get("train", "ckpt_interval", default=10000)
+        )
+        eval_at_switch = bool(
+            configer.get("train", "eval_at_switch", default=False)
+        )
+        if args.finetune_from:
+            trainer.finetune_from(args.finetune_from)
+            logger.info(f"finetuning from {args.finetune_from}")
+        if trainer.latest_step(ckpt_dir) is not None:
+            trainer.restore(ckpt_dir)
+            logger.info(
+                f"restored alternating ckpt at iter {trainer.total_iter} "
+                f"(stage={trainer.stage}, alter_iter={trainer.alter_iter})"
+            )
         loader = get_data_loader(
             configer, "train", rank=jax.process_index(), world=jax.process_count()
         )
         max_iter = trainer.max_iter
         tm, lm = TimeMeter(max_iter), AvgMeter()
+
+        def eval_now(tag):
+            """Stage-switch eval (reference :548-569, eval_model_contrast on
+            the live model). Dataset trouble must not kill a flagship run."""
+            try:
+                from mds_tpu.data.loader import get_data_loader as gdl
+                from mds_tpu.evaluation.evaluator import eval_model
+
+                variables = {
+                    "params": trainer.seg_state.params,
+                    "batch_stats": trainer.seg_state.batch_stats,
+                    "buffers": trainer.seg_buffers,
+                }
+                loaders = gdl(configer, "eval", rank=jax.process_index(),
+                              world=jax.process_count())
+                mious = eval_model(
+                    configer, trainer.seg_model, variables, loaders,
+                    mode="contrast",
+                )
+                logger.info(f"[eval @{tag}] mIoUs: "
+                            + " ".join(f"{m:.4f}" for m in mious))
+            except Exception as e:  # missing datasets etc.
+                logger.warning(f"stage-switch eval failed: {e}")
+
         try:
-            for it in range(max_iter):
+            for it in range(trainer.total_iter, max_iter):
+                prev_stage = trainer.stage
                 metrics = trainer.step(next(loader))
                 tm.update()
                 lm.update(metrics["loss"])
@@ -104,8 +147,14 @@ def main():
                         f"iter {it + 1}/{max_iter} stage={trainer.stage} "
                         f"loss={lm.get()[0]:.4f} time={t:.2f} eta={eta}"
                     )
+                if (it + 1) % ckpt_interval == 0:
+                    trainer.save(ckpt_dir)
+                if eval_at_switch and trainer.stage != prev_stage:
+                    eval_now(f"iter{it + 1}:{prev_stage}->{trainer.stage}")
         finally:
             loader.close()
+            trainer.save(ckpt_dir)
+            logger.info(f"saved alternating ckpt at iter {trainer.total_iter}")
     else:
         from mds_tpu.engine.trainer import Trainer
 
