@@ -77,12 +77,16 @@ class MultiDatasetTrainLoader:
         self._producer.start()
 
     # -- sample acquisition -------------------------------------------------
-    def _one(self, ds_idx: int) -> dict:
+    def _one(self, ds_idx: int, seed: int) -> dict:
+        """Decode+augment one sample in a pool thread. The augmentation rng
+        is derived from `seed` (drawn by the producer thread) — a fresh
+        Generator per task, because np.random.Generator is documented
+        NOT thread-safe and was previously shared across all workers."""
         ds = self.datasets[ds_idx]
         # the reference skips batches whose labels are all-ignore
         # (tools/train_ltbgnn_all_datasets_snp.py:714-728); we resample the
         # sample instead, which never wastes a step.
-        child = np.random.default_rng(self.rng.integers(2**63))
+        child = np.random.default_rng(seed)
         for _ in range(self.max_resample):
             idx = next(self.streams[ds_idx])
             s = ds.read(idx, child)
@@ -93,7 +97,12 @@ class MultiDatasetTrainLoader:
     def _assemble(self) -> TrainBatch:
         futs = []
         for i, bs in enumerate(self.batch_sizes):
-            futs.append([self.pool.submit(self._one, i) for _ in range(bs)])
+            # seeds drawn here, on the single producer thread, so self.rng
+            # is never touched concurrently
+            seeds = self.rng.integers(2**63, size=bs)
+            futs.append(
+                [self.pool.submit(self._one, i, int(s)) for s in seeds]
+            )
         ims = [np.stack([f.result()["im"] for f in fs]) for fs in futs]
         lbs_list = []
         for i, fs in enumerate(futs):

