@@ -5,8 +5,16 @@ test_fps_with_engine; README.md:10 — BiSeNetV2 59 FPS fp16 on a Tesla T4 at
 1024×2048, bs=1). Ours measures the full exported graph: uint8-scale input →
 normalize → BiSeNetV2 → argmax label map, jitted in bf16 on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline = FPS / 59 (reference T4 fp16 FPS; BASELINE.md).
+Line 1 (the driver-tracked headline): {"metric", "value", "unit",
+"vs_baseline"} where vs_baseline = FPS / 59 (reference T4 fp16 FPS;
+BASELINE.md).
+
+Line 2 (since r3, VERDICT r2 next #7): bisenetv2_train_imgs_per_sec — the
+full jitted train step (normalize → fwd → OHEM main+4 aux → grad → SGD →
+BN update) at bs16 512×1024 bf16, the reference recipe's global batch
+(configs/bisenetv2_city.py; hot loop tools/train_amp.py:218-291).
+vs_baseline is pinned to the 97.8 img/s measured in r2 (PARITY.md) so
+regressions are driver-visible round-over-round.
 """
 
 import json
@@ -83,6 +91,71 @@ def main():
                 "value": round(fps, 2),
                 "unit": "fps/chip",
                 "vs_baseline": round(fps / T4_FP16_FPS, 3),
+                "runs": [round(r, 2) for r in runs],
+            }
+        )
+    )
+    bench_train()
+
+
+R2_TRAIN_IMGS_PER_SEC = 97.8  # r2 measured value (PARITY.md) — regression pin
+
+
+def bench_train():
+    """bs16 512×1024 bf16 train-step throughput, chained on device."""
+    import numpy as np
+
+    from mds_tpu.engine.lr_schedule import warmup_poly_lr
+    from mds_tpu.engine.optim import sgd_param_groups
+    from mds_tpu.engine.train_step import init_train_state, make_seg_train_step
+    from mds_tpu.models.bisenetv2 import BiSeNetV2
+
+    B, H, W = 16, 512, 1024
+    model = BiSeNetV2(n_classes=(19,), n_bn=1, dtype=jnp.bfloat16)
+    tx = sgd_param_groups(warmup_poly_lr(5e-3, 0.9, 1000, warmup_iter=10))
+    state = init_train_state(
+        model, tx, [np.zeros((1, H, W, 3), np.float32)]
+    )
+    step = make_seg_train_step(
+        model, tx,
+        [np.asarray([0.3257, 0.3690, 0.3223], np.float32)],
+        [np.asarray([0.2112, 0.2148, 0.2115], np.float32)],
+        compute_dtype=jnp.bfloat16,
+        donate=False,  # the timing loop reuses the input state
+    )
+    rng = np.random.default_rng(0)
+    im = jnp.asarray(rng.integers(0, 256, (B, H, W, 3)), jnp.uint8)
+    lb8 = rng.integers(0, 19, (B, H // 8, W // 8))
+    lb = jnp.asarray(np.repeat(np.repeat(lb8, 8, 1), 8, 2), jnp.uint8)
+    key = jax.random.PRNGKey(0)
+
+    n_iters = 8
+
+    @jax.jit
+    def train_loop(state, im, lb):
+        def body(i, st):
+            st, _ = step(st, [im], [lb], jax.random.fold_in(key, i))
+            return st
+
+        return jax.lax.fori_loop(0, n_iters, body, state)
+
+    def fetch(st):  # force a real device→host read (tunnel-honest timing)
+        return float(jax.tree_util.tree_leaves(st.params)[0].reshape(-1)[0])
+
+    fetch(train_loop(state, im, lb))  # compile + warmup
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fetch(train_loop(state, im, lb))
+        runs.append(n_iters * B / (time.perf_counter() - t0))
+    ips = sorted(runs)[1]
+    print(
+        json.dumps(
+            {
+                "metric": "bisenetv2_train_imgs_per_sec",
+                "value": round(ips, 2),
+                "unit": "imgs/s/chip",
+                "vs_baseline": round(ips / R2_TRAIN_IMGS_PER_SEC, 3),
                 "runs": [round(r, 2) for r in runs],
             }
         )

@@ -59,8 +59,14 @@ class AlternatingTrainer:
     """Host-side stage machine over two jitted steps."""
 
     def __init__(self, configer: Configer, compute_dtype=jnp.float32,
-                 node_features: Optional[np.ndarray] = None):
+                 node_features: Optional[np.ndarray] = None, mesh=None):
+        """mesh: optional 1-D data mesh (parallel.mesh.make_mesh). When set,
+        both param trees / buffers / node features are replicated and the
+        per-dataset batches are sharded on their leading axis — the same DP
+        layout as the seg Trainer (the reference wraps both nets in DDP,
+        train_ltbgnn_all_datasets_snp.py:280-299)."""
         self.configer = configer
+        self.mesh = mesh
         self.n = configer.n_datasets
         self.dataset_cats = tuple(configer.n_cats(i) for i in range(self.n))
         self.total_cats = sum(self.dataset_cats)
@@ -159,6 +165,16 @@ class AlternatingTrainer:
         if self.mode == "clip":
             # frozen CLIP text anchors as the classifier
             self.set_clip_prototypes()
+        if self.mesh is not None:
+            self._replicate_all()
+
+    def _replicate_all(self):
+        from mds_tpu.parallel.mesh import replicate
+
+        self.seg_state = replicate(self.seg_state, self.mesh)
+        self.gnn_state = replicate(self.gnn_state, self.mesh)
+        self.seg_buffers = replicate(self.seg_buffers, self.mesh)
+        self.node_features = replicate(self.node_features, self.mesh)
 
     # ------------------------------------------------------------------ steps
     def _build_steps(self, compute_dtype):
@@ -378,12 +394,19 @@ class AlternatingTrainer:
             with_datasets_aux=self.seg_model.with_datasets_aux,
         )
         variables = set_bipartite_graphs(variables, graphs)
-        self.seg_buffers = variables["buffers"]
+        params, buffers = variables["params"], variables["buffers"]
+        if self.mesh is not None:
+            # the injected prototypes/graphs are host arrays — re-replicate
+            from mds_tpu.parallel.mesh import replicate
+
+            params = replicate(params, self.mesh)
+            buffers = replicate(buffers, self.mesh)
+        self.seg_buffers = buffers
         # fresh seg optimizer (reference rebuilds it at each switch, :260-263)
         self.seg_state = TrainState(
-            params=variables["params"],
+            params=params,
             batch_stats=self.seg_state.batch_stats,
-            opt_state=self.seg_tx.init(variables["params"]),
+            opt_state=self.seg_tx.init(params),
             step=self.seg_state.step,
         )
         self.stage = SEG
@@ -533,8 +556,17 @@ class AlternatingTrainer:
             self.switch_to_gnn()
         elif self.stage == GNN and self.alter_iter >= self.gnn_iters:
             self.switch_to_seg()
-        ims = [jnp.asarray(x) for x in batch["ims"]]
-        lbs = [jnp.asarray(x) for x in batch["lbs"]]
+        if self.mesh is not None:
+            from mds_tpu.parallel.mesh import shard_batch
+
+            dev = shard_batch(
+                {"ims": list(batch["ims"]), "lbs": list(batch["lbs"])},
+                self.mesh,
+            )
+            ims, lbs = dev["ims"], dev["lbs"]
+        else:
+            ims = [jnp.asarray(x) for x in batch["ims"]]
+            lbs = [jnp.asarray(x) for x in batch["lbs"]]
         if self.stage == GNN:
             max_rate = jnp.float32(self.alter_iter / max(self.gnn_iters, 1))
             # Gumbel τ anneals with the iter inside the current gnn stage
