@@ -161,8 +161,67 @@ class Configer:
     def n_cats(self, i: int) -> int:
         return int(self.dataset_cfg(i)["n_cats"])
 
+    @property
+    def conditions(self) -> "_ConditionHelper":
+        return _ConditionHelper(self)
+
     def __repr__(self) -> str:
         return f"Configer({json.dumps(self.params_root)[:200]}…)"
+
+
+class _ConditionHelper:
+    """Config predicate helper (reference: tools/configer.py:243-298,
+    exposed as `configer.conditions`)."""
+
+    def __init__(self, configer: Configer):
+        self.configer = configer
+
+    @property
+    def use_multi_dataset(self) -> bool:
+        # our schema: top-level n_datasets (the reference's data.data_dir
+        # list predicate plays the same role)
+        return self.configer.n_datasets > 1
+
+    @property
+    def pred_sw_offset(self) -> bool:
+        return self.configer.exists("data", "pred_sw_offset")
+
+    @property
+    def pred_dt_offset(self) -> bool:
+        return self.configer.exists("data", "pred_dt_offset")
+
+    @property
+    def use_sw_offset(self) -> bool:
+        return self.configer.exists("data", "use_sw_offset")
+
+    @property
+    def use_dt_offset(self) -> bool:
+        return self.configer.exists("data", "use_dt_offset")
+
+    @property
+    def use_ground_truth(self) -> bool:
+        return self.config_equals(("use_ground_truth",), True)
+
+    @property
+    def pred_ml_dt_offset(self) -> bool:
+        return self.configer.exists("data", "pred_ml_dt_offset")
+
+    def loss_contains(self, name: str) -> bool:
+        return name in (self.configer.get("loss", "type", default="") or "")
+
+    def model_contains(self, name: str) -> bool:
+        return name in (self.configer.get("model_name", default="") or "")
+
+    def config_equals(self, key: Sequence[str], value: Any) -> bool:
+        if not self.configer.exists(*key):
+            return False
+        return self.configer.get(*key) == value
+
+    def config_exists(self, key: Sequence[str]) -> bool:
+        return self.configer.exists(*key)
+
+    def environ_exists(self, key: str) -> bool:
+        return os.environ.get(key) is not None
 
 
 def set_cfg_from_file(path: str) -> Configer:

@@ -98,7 +98,13 @@ class AlternatingTrainer:
         self._gnn_sched = lambda lr: warmup_poly_lr(
             lr, 1.2, self.gnn_iters, warmup_iter=min(warmup, self.gnn_iters // 2)
         )
-        self.gnn_tx = optax.adamw(self._gnn_sched(self.gnn_lr), weight_decay=wd)
+        self._wd = wd
+        # lr for the adv discriminators; the reference steps a SEPARATE
+        # gnn_optimD (Adam over netD params, weight_decay 0, power-1.2
+        # schedule at gnn_lr) on the same backward
+        # (train_ltbgnn_all_datasets_snp.py:238-263, :956-962)
+        self.optimD_lr = float(g("lr", "optimD_lr", d=self.gnn_lr))
+        self.gnn_tx = self._make_gnn_tx(self.gnn_lr)
 
         # per-dataset normalization stats
         from mds_tpu.engine.trainer import dataset_stats
@@ -412,13 +418,32 @@ class AlternatingTrainer:
         self.stage = SEG
         self.alter_iter = 0
 
+    def _make_gnn_tx(self, lr: float) -> optax.GradientTransformation:
+        """AdamW for the graph net; in adv mode the netD discriminator
+        subtree gets its own transform (wd=0, lr.optimD_lr) — the split-
+        optimizer semantics of the reference's gnn_optim + gnn_optimD pair
+        on one shared backward (train_ltbgnn_all_datasets_snp.py:948-965)."""
+        base = optax.adamw(self._gnn_sched(lr), weight_decay=self._wd)
+        if self.gnn_model.mse_or_adv != "adv":
+            return base
+        d_ratio = self.optimD_lr / max(self.gnn_lr, 1e-12)
+        dtx = optax.adamw(self._gnn_sched(lr * d_ratio), weight_decay=0.0)
+
+        def labels(params):
+            return {
+                k: jax.tree_util.tree_map(
+                    lambda _: "d" if k.startswith("netD") else "g", v
+                )
+                for k, v in params.items()
+            }
+
+        return optax.multi_transform({"g": base, "d": dtx}, labels)
+
     def switch_to_gnn(self):
-        # decayed gnn lr on re-entry (reference ratio logic, :752-790)
+        # decayed gnn lr on re-entry (reference ratio logic, :752-790; the
+        # same ratio scales the discriminator optimizer, :774-788)
         ratio = max(0.1, 1.0 - self.gnn_state.step / max(self.max_iter, 1))
-        self.gnn_tx = optax.adamw(
-            self._gnn_sched(self.gnn_lr * float(ratio)),
-            weight_decay=float(self.configer.get("lr", "weight_decay", default=1e-5)),
-        )
+        self.gnn_tx = self._make_gnn_tx(self.gnn_lr * float(ratio))
         self.gnn_state = TrainState(
             params=self.gnn_state.params, batch_stats={},
             opt_state=self.gnn_tx.init(self.gnn_state.params),

@@ -22,6 +22,14 @@ CFG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
     "hrnet_w48_city.json",
     "bisenetv2_contrast_3ds.json",
     "test_synthetic.json",
+    "test_synthetic_gnn.json",
+    "ltbgnn_5_datasets_snp.json",
+    "ltbgnn_5_datasets_snp_gnnonly.json",
+    "ltbgnn_7_datasets_snp_segonly.json",
+    "clip_5_datasets.json",
+    "bisenetv2_camvid.json",
+    "bisenetv2_a2d2.json",
+    "bisenetv1_coco.json",
 ])
 def test_config_builds_model(name):
     configer = Configer(config_file=os.path.join(CFG_DIR, name))
