@@ -32,7 +32,7 @@ T4_FP16_FPS = 59.0  # reference README.md:10
 
 def main():
     from mds_tpu.models.bisenetv2 import BiSeNetV2
-    from mds_tpu.models.layers import set_stem_impl
+    from mds_tpu.models.layers import set_pred_impl, set_stem_impl
 
     # Pallas stem kernel: the two full-res RGB stem convs cost 3.6 ms of a
     # 9.0 ms graph under XLA's emitter (profiled 2026-08-16); the kernel is
@@ -40,6 +40,13 @@ def main():
     # and ReLU are folded into the kernel (bf16 out) — together 93.7 (r1)
     # → 121.9 FPS.
     set_stem_impl("pallas")
+    # NOT enabled: set_pred_impl("fused") (ops/pallas/upsample_argmax.py).
+    # Measured 2026-08-17 standalone at (1,128,256,19)->x8: XLA resize+argmax
+    # 0.755 ms vs fused kernel 0.766 ms (and a matmul-resize XLA variant
+    # 1.148 ms) — the tail is VPU-argmax-bound, not HBM-bound, so the fusion
+    # does not pay; in-graph it also forces extra layout copies (89.6 FPS
+    # end-to-end vs 121.7). Kept as a documented negative result + for
+    # backends with slower resize lowerings.
     model = BiSeNetV2(n_classes=(19,), n_bn=1, aux=False, dtype=jnp.bfloat16)
     H, W = 1024, 2048
     rng = jax.random.PRNGKey(0)

@@ -266,7 +266,20 @@ class BiSeNetV2(nn.Module):
         return self.head[dataset](feat_head[dataset], train=False)
 
     def pred(self, x: jax.Array, dataset: int = 0):
-        """aux_mode='pred': argmax label map (ref :636-639)."""
+        """aux_mode='pred': argmax label map (ref :636-639). With
+        set_pred_impl('fused') the final ×8 bilinear + argmax run as one
+        Pallas pass that never writes the full-res class volume to HBM
+        (ops/pallas/upsample_argmax.py)."""
+        from mds_tpu.models.layers import get_pred_impl
+
+        if get_pred_impl() == "fused":
+            from mds_tpu.ops.pallas.upsample_argmax import upsample_argmax_pallas
+
+            xs = as_multi(x, dataset, self.n_bn)
+            feat_head, _ = self.backbone(xs, train=False)
+            head = self.head[dataset]
+            logits = head(feat_head[dataset], train=False, up=False)
+            return upsample_argmax_pallas(logits, head.residual_factor)
         return jnp.argmax(self.eval_logits(x, dataset), axis=-1)
 
 

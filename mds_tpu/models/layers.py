@@ -210,6 +210,24 @@ def set_conv3_eval_impl(impl: str) -> None:
     _CONV3_EVAL_IMPL = impl
 
 
+# Deploy pred path: "fused" runs the final bilinear-×N-upsample + argmax as
+# one Pallas pass (ops/pallas/upsample_argmax.py) that never materializes
+# the full-res class volume in HBM (~160 MB at 1024×2048×19). MEASURED
+# 2026-08-17 on v5e (bench.py methodology): head+resize+argmax 0.87 ms →
+# fused keeps only the head matmul; end-to-end 121.7 → see bench notes.
+_PRED_IMPL = "xla"  # "xla" | "fused"
+
+
+def set_pred_impl(impl: str) -> None:
+    assert impl in ("xla", "fused"), impl
+    global _PRED_IMPL
+    _PRED_IMPL = impl
+
+
+def get_pred_impl() -> str:
+    return _PRED_IMPL
+
+
 class DepthwiseConv3x3(nn.Module):
     """Depthwise/grouped 3×3 conv. Default: XLA grouped conv (fastest measured
     on v5e, differentiable). Alternatives via set_depthwise_impl: 'shift' = 9
@@ -493,27 +511,32 @@ class SegmentHead(nn.Module):
     aux: bool = True
     dtype: Dtype = jnp.float32
 
+    @property
+    def residual_factor(self) -> int:
+        """Upsample factor still owed when called with up=False."""
+        return self.up_factor // 2 if self.aux else self.up_factor
+
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+    def __call__(self, x: jax.Array, *, train: bool, up: bool = True) -> jax.Array:
         (x,) = ConvBNReLU(self.mid_chan, 3, dtype=self.dtype, name="conv")(
             [x], train=train
         )
         x = nn.Dropout(0.1, deterministic=not train)(x)
         if self.aux:
             mid2 = self.up_factor * self.up_factor
-            factor = self.up_factor // 2
             x = upsample(x, 2, "nearest")
             (x,) = ConvBNReLU(mid2, 3, dtype=self.dtype, name="conv1")([x], train=train)
-        else:
-            factor = self.up_factor
         x = nn.Conv(
             self.n_classes, (1, 1), use_bias=True, dtype=self.dtype,
             param_dtype=jnp.float32, name="conv_out",
         )(x)
-        if factor > 1:
+        factor = self.residual_factor
+        if up and factor > 1:
             # resize in the compute dtype: the full-res class volume is the
             # biggest tensor in the whole graph (1024×2048×19) — keeping it
-            # bf16 halves the dominant HBM traffic of the deploy path
+            # bf16 halves the dominant HBM traffic of the deploy path.
+            # (up=False leaves the logits at head resolution — the fused
+            # upsample+argmax pred path consumes them directly.)
             b, h, w, c = x.shape
             x = jax.image.resize(
                 x, (b, h * factor, w * factor, c), method="linear"
