@@ -32,7 +32,11 @@ T4_FP16_FPS = 59.0  # reference README.md:10
 
 def main():
     from mds_tpu.models.bisenetv2 import BiSeNetV2
-    from mds_tpu.models.layers import set_pred_impl, set_stem_impl
+    from mds_tpu.models.layers import (
+        set_detail_fuse,
+        set_pred_impl,
+        set_stem_impl,
+    )
 
     # Pallas stem kernel: the two full-res RGB stem convs cost 3.6 ms of a
     # 9.0 ms graph under XLA's emitter (profiled 2026-08-16); the kernel is
@@ -40,6 +44,11 @@ def main():
     # and ReLU are folded into the kernel (bf16 out) — together 93.7 (r1)
     # → 121.9 FPS.
     set_stem_impl("pallas")
+    # Fused S1_1+S1_2 detail pair (ops/pallas/stem.py stem_s1_pair_fused):
+    # the S1_1 activation never leaves VMEM; stage-B taps PAIRED to K=128
+    # MXU dots. Measured subchain 2026-08-17: 2.82 ms (pallas stem + XLA
+    # S1_2) → 2.39 ms fused.
+    set_detail_fuse(True)
     # NOT enabled: set_pred_impl("fused") (ops/pallas/upsample_argmax.py).
     # Measured 2026-08-17 standalone at (1,128,256,19)->x8: XLA resize+argmax
     # 0.755 ms vs fused kernel 0.766 ms (and a matmul-resize XLA variant

@@ -147,12 +147,16 @@ class MscEvalV0Contrast(MscEvalV0):
     """GNN-era eval protocol (evaluate.py:100-192 `MscEvalV0_Contrast`,
     ori_scales=False): the model's remapped logits stay at feature resolution
     and the LABEL is nearest-downsampled to the logit size instead
-    (evaluate.py:150-157). With ori_scales=True it behaves like MscEvalV0."""
+    (evaluate.py:150-157). With ori_scales=True it behaves like MscEvalV0.
+    truncate_classes=True keeps only the first n_classes logit channels —
+    `MscEvalV0_unlabel` (evaluate.py:396-470), for models whose remap emits
+    extra unlabeled-class channels."""
 
     def __init__(self, scales=(0.5,), flip=False, ignore_label=255,
-                 ori_scales=False):
+                 ori_scales=False, truncate_classes=False):
         super().__init__(scales, flip, ignore_label)
         self.ori_scales = ori_scales
+        self.truncate_classes = truncate_classes
 
     def _batch_fn(self, logits_fn, n_classes, dataset_id, shape):
         if self.ori_scales:
@@ -168,6 +172,8 @@ class MscEvalV0Contrast(MscEvalV0):
                     sH, sW = get_round_size((int(scale * H), int(scale * W)))
                     im_sc = resize_bilinear_ac(im, (sH, sW))
                     logits = logits_fn(im_sc, dataset_id)
+                    if self.truncate_classes:
+                        logits = logits[..., :n_classes]
                     lh, lw = logits.shape[1:3]
                     if lb_small is None:
                         # nearest label downsample (F.interpolate 'nearest')
@@ -178,6 +184,8 @@ class MscEvalV0Contrast(MscEvalV0):
                     probs = p if probs is None else probs + p
                     if self.flip:
                         lg = logits_fn(im_sc[:, :, ::-1, :], dataset_id)[:, :, ::-1, :]
+                        if self.truncate_classes:
+                            lg = lg[..., :n_classes]
                         probs = probs + jax.nn.softmax(lg.astype(jnp.float32), -1)
                 preds = jnp.argmax(probs, axis=-1)
                 return confusion_hist(lb_small, preds, n_classes, self.ignore_label)
@@ -349,10 +357,13 @@ def make_logits_fn(model, variables, mean, std, method=None, **method_kwargs):
 # Reference drivers: ss/ssc/msf/mscf = eval_model :907 (+the commented crop/
 # msf blocks restored per the README protocol table); contrast = :1107;
 # label_link = :1464; uni = :1425 (aux_mode 'eval' with n_cats+1 hist bins);
-# unseen = :1346; clip = :1386; emb = :1560 (pred_by_emb).
+# unseen = :1346; clip = :1386; emb = :1560 (pred_by_emb); unlabel = :1228
+# (MscEvalV0_unlabel — logits truncated to the dataset's eval_cats);
+# dsg = :1267 (same protocol as contrast; the reference points it at the
+# stage-2 train anns — pass loaders built with stage=2 for that).
 EVAL_MODES = (
-    "ss", "ssc", "msf", "mscf", "contrast", "label_link", "uni", "unseen",
-    "clip", "emb", "aux",
+    "ss", "ssc", "msf", "mscf", "contrast", "dsg", "label_link", "uni",
+    "unseen", "clip", "emb", "aux", "unlabel",
 )
 
 
@@ -375,8 +386,11 @@ def _make_evaluator(configer, mode: str):
         return MscEvalCrop(
             cropsize=eval_crop, cropstride=2.0 / 3, flip=True, scales=eval_scales
         )
-    if mode == "contrast":
+    if mode in ("contrast", "dsg"):
         return MscEvalV0Contrast(scales=(0.5,), flip=False)
+    if mode == "unlabel":
+        return MscEvalV0Contrast(scales=(0.5,), flip=False,
+                                 truncate_classes=True)
     if mode in ("label_link", "uni", "unseen", "clip", "emb"):
         return MscEvalV0Contrast(scales=(1.0,), flip=False)
     raise ValueError(f"unknown eval mode {mode!r} (choose from {EVAL_MODES})")
@@ -414,5 +428,11 @@ def eval_model(configer, model, variables, loaders, mode: str = "ss",
             model, variables, mean, std, method=method, **(method_kwargs or {})
         )
         n_cats = configer.n_cats(i) + (1 if mode == "uni" else 0)
+        if mode == "unlabel":
+            # the unlabel protocol evaluates over the dataset's eval_cats
+            # (reference :1251: eval_cats, the label space without the extra
+            # unlabeled channels)
+            n_cats = int(configer.dataset_cfg(i).get("eval_cats",
+                                                     configer.n_cats(i)))
         mious.append(ev(logits_fn, loader, n_cats, i))
     return mious

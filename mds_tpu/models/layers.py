@@ -228,6 +228,22 @@ def get_pred_impl() -> str:
     return _PRED_IMPL
 
 
+# Deploy detail-branch S1 pair fusion: run S1_1 (stem) + S1_2 as ONE Pallas
+# kernel (ops/pallas/stem.py stem_s1_pair_fused) so the S1_1 activation
+# never leaves VMEM — kills the custom-call↔conv boundary layout copies
+# (~1 ms) and the 134 MB HBM roundtrip the trace showed (2026-08-17).
+_DETAIL_FUSE = False
+
+
+def set_detail_fuse(enable: bool = True) -> None:
+    global _DETAIL_FUSE
+    _DETAIL_FUSE = enable
+
+
+def get_detail_fuse() -> bool:
+    return _DETAIL_FUSE
+
+
 class DepthwiseConv3x3(nn.Module):
     """Depthwise/grouped 3×3 conv. Default: XLA grouped conv (fastest measured
     on v5e, differentiable). Alternatives via set_depthwise_impl: 'shift' = 9
@@ -374,6 +390,18 @@ class Conv3x3S1Fusable(nn.Module):
         return y
 
 
+class _ConvKernelHolder(nn.Module):
+    """Declares the same 'kernel' param an nn.Conv named alike would —
+    lets a parent read a conv's raw weights for cross-layer fusion without
+    changing the param tree."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param("kernel", conv_init(), self.shape, jnp.float32)
+
+
 class ConvBNReLU(nn.Module):
     """conv → per-dataset BN → shared affine → ReLU
     (reference: lib/models/bisenetv2.py:12-74). One conv (shared weights)
@@ -393,8 +421,25 @@ class ConvBNReLU(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xs: MultiX, *, train: bool) -> List[Optional[jax.Array]]:
-        c_in = next(x.shape[-1] for x in xs if x is not None)
+    def __call__(self, xs: MultiX, *, train: bool,
+                 emit: Optional[str] = None,
+                 emit_c_in: Optional[int] = None) -> List[Optional[jax.Array]]:
+        c_in = emit_c_in or next(x.shape[-1] for x in xs if x is not None)
+        if emit == "folded":
+            # deploy cross-layer fusion support: hand the caller the RAW
+            # conv kernel + per-dataset folded eval-BN (scale, bias) instead
+            # of applying — consumed by fused multi-layer Pallas kernels
+            # (e.g. the detail-stem pair, ops/pallas/stem.py). The param
+            # tree is untouched: the holder declares the same 'conv/kernel'.
+            assert not train and self.groups == 1 and not self.bias
+            kernel = _ConvKernelHolder(
+                (self.ks, self.ks, c_in, self.out_chan), name="conv"
+            )()
+            coeffs = DatasetNorm(
+                self.out_chan, n_bn=self.n_bn,
+                shared_affine=self.shared_affine, dtype=self.dtype, name="bn",
+            )(xs, train=False, fold=True)
+            return kernel, coeffs
         if (
             self.groups == c_in and self.ks == 3 and self.dilation == 1
             and not self.bias
@@ -487,7 +532,14 @@ def resize_bilinear(x: jax.Array, size_hw: Tuple[int, int]) -> jax.Array:
 
 
 def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
-    """torch MaxPool2d(3, stride=2, padding=1, ceil_mode=False) equivalent."""
+    """torch MaxPool2d(3, stride=2, padding=1, ceil_mode=False) equivalent.
+
+    Measured negative result (v5e, 2026-08-17): a separable strided-slice
+    max (3 strided row slices + 3 column slices of elementwise maximum) beat
+    reduce-window STANDALONE (0.27 ms saved at (1,512,1024,16)) but cost
+    ~17 FPS end-to-end in the deploy graph (121→104) — the six strided
+    slices block XLA from fusing the pool with its producers and force
+    extra layout copies. reduce-window stays."""
     return nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
 

@@ -288,6 +288,159 @@ def _stem_fwd_dma(x: jax.Array, k: jax.Array, th: int = 8,
     return out.reshape(b, n_t * th, w2, o)[:, :h2]
 
 
+def _pair_kernel(xu0, xu1, xu2, w1_ref, w2_ref, b2_ref, out_ref, a_ref, s1_ref,
+                 *, th: int, w2: int, n_t: int, relu2: bool):
+    """Fused detail-stem pair: S1_1 (3→64, s2, BN+ReLU folded) THEN S1_2
+    (64→64, s1, BN+ReLU folded) in one grid step — the S1_1 activation
+    never leaves VMEM (profiled v5e: the XLA boundary between the stem
+    custom-call and the S1_2 conv cost ~1 ms of layout copies + a 134 MB
+    HBM roundtrip, trace 2026-08-17).
+
+    xu{c}: (1, 1, 2·th+5, w2+1) u32 input tiles (2 extra S1_1 halo rows).
+    w1_ref: (32, 64) f32 stage-A patch weights (+ ones-row bias, as in
+    _kernel). w2_ref: (9, 64, 64) stage-B tap weights (BN scale folded).
+    b2_ref: (1, 64) f32 stage-B bias. s1_ref: (th+2, w2+2, 64) bf16 scratch.
+    """
+    ti = pl.program_id(1)
+    planes = []
+    for xu in (xu0, xu1, xu2):
+        u = xu[0, 0]
+        ev = pltpu.bitcast(u << 16, jnp.float32)
+        od = pltpu.bitcast(u & jnp.uint32(0xFFFF0000), jnp.float32)
+        planes.append((ev, od))
+    w1 = w1_ref[:]
+    a_ref[27:32, :] = jnp.zeros((5, w2), jnp.float32)
+    a_ref[27:28, :] = jnp.ones((1, w2), jnp.float32)  # folded-BN bias row
+    # column halo (S1_2's pad=1)
+    s1_ref[:, 0:1, :] = jnp.zeros((th + 2, 1, 64), jnp.bfloat16)
+    s1_ref[:, w2 + 1 : w2 + 2, :] = jnp.zeros((th + 2, 1, 64), jnp.bfloat16)
+    # stage A: th+2 rows of S1_1 (row j covers S1_1 row 8·ti − 1 + j)
+    for j in range(th + 2):
+        k = 0
+        for dy in range(3):
+            r = 2 * j + dy
+            for dx in (-1, 0, 1):
+                for c in range(3):
+                    ev, od = planes[c]
+                    if dx == -1:
+                        tap = jax.lax.slice(ev, (r, 0), (r + 1, w2))
+                    elif dx == 0:
+                        tap = jax.lax.slice(od, (r, 0), (r + 1, w2))
+                    else:
+                        tap = jax.lax.slice(ev, (r, 1), (r + 1, w2 + 1))
+                    a_ref[k : k + 1, :] = tap
+                    k += 1
+        row = jax.lax.dot_general(
+            a_ref[:], w1, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (w2, 64)
+        row = jnp.maximum(row, 0.0)
+        s1_ref[j, 1 : w2 + 1, :] = row.astype(jnp.bfloat16)
+    # row halos outside the image are S1_2 ZERO padding, not conv output
+    @pl.when(ti == 0)
+    def _top():
+        s1_ref[0, :, :] = jnp.zeros((w2 + 2, 64), jnp.bfloat16)
+
+    @pl.when(ti == n_t - 1)
+    def _bot():
+        s1_ref[th + 1, :, :] = jnp.zeros((w2 + 2, 64), jnp.bfloat16)
+
+    # stage B over the VMEM-resident S1_1 rows. Taps are PAIRED on the
+    # contraction axis (two (·,64) taps lane-concatenated into one (·,128)
+    # operand): a K=64 dot wastes half the 128-deep MXU, so 9 singles cost
+    # 9 array passes where 4 pairs + 1 single cost 5.
+    def tap(dy, dx):
+        return s1_ref[dy : dy + th, dx : dx + w2, :]
+
+    acc = jnp.broadcast_to(b2_ref[0], (th * w2, 64)).astype(jnp.float32)
+    # pairs share dx (same sublane offset — Mosaic can't concat operands
+    # whose non-concat offsets differ); dy offsets live on the leading dim
+    for dx in range(3):
+        lhs = jnp.concatenate([tap(0, dx), tap(1, dx)], axis=-1).reshape(
+            th * w2, 128
+        )
+        w_pair = jnp.concatenate([w2_ref[0 + dx], w2_ref[3 + dx]], axis=0)
+        acc = acc + jax.lax.dot_general(
+            lhs, w_pair, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + jax.lax.dot_general(
+            tap(2, dx).reshape(th * w2, 64), w2_ref[6 + dx],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    if relu2:
+        acc = jnp.maximum(acc, 0.0)
+    out_ref[0, 0] = acc.reshape(th, w2, 64).astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("th", "interpret", "relu2"))
+def stem_s1_pair_fused(x: jax.Array, k1: jax.Array, scale1: jax.Array,
+                       bias1: jax.Array, k2: jax.Array, scale2: jax.Array,
+                       bias2: jax.Array, th: int = 8,
+                       interpret: bool = False, relu2: bool = True) -> jax.Array:
+    """DetailBranch S1 pair, deploy-fused: ReLU(BN2(conv3×3_s1(ReLU(BN1(
+    conv3×3_s2(x, k1))), k2))) with both eval-BNs folded. x (B,H,W,3) bf16,
+    H, W even; k1 (3,3,3,64); k2 (3,3,64,64). → (B,H/2,W/2,64) bf16."""
+    b, h, w, c = x.shape
+    assert c == 3 and k1.shape == (3, 3, 3, 64) and k2.shape == (3, 3, 64, 64)
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    assert x.dtype == jnp.bfloat16, x.dtype
+    h2, w2 = h // 2, w // 2
+    n_t = -(-h2 // th)
+
+    # tile ti needs padded input rows [16·ti, 16·ti + 2·th + 5) — top pad 3
+    # (1 conv pad + 2 S1_1-halo rows), bottom pad to the last tile's reach
+    rows_need = 16 * (n_t - 1) + 2 * th + 5
+    pad_bot = rows_need - (h + 3)
+    tiles_c = []
+    for ci in range(3):
+        p = jnp.pad(x[..., ci], ((0, 0), (3, max(pad_bot, 1)), (1, 1)))
+        pu = jax.lax.bitcast_convert_type(
+            p.reshape(b, p.shape[1], w2 + 1, 2), jnp.uint32
+        )
+        tiles = jnp.stack(
+            [
+                jax.lax.slice_in_dim(pu, i * 2 * th, i * 2 * th + 2 * th + 5,
+                                     axis=1)
+                for i in range(n_t)
+            ],
+            axis=1,
+        )  # (B, nT, 2th+5, w2+1)
+        tiles_c.append(tiles)
+
+    w1_rows = [k1[dy, (dx + 1), ci] for dy in range(3) for dx in (-1, 0, 1)
+               for ci in range(3)]
+    w1 = jnp.stack(w1_rows).astype(jnp.float32) * scale1.astype(jnp.float32)
+    w1 = jnp.concatenate([w1, bias1.astype(jnp.float32)[None, :]], axis=0)
+    w1 = jnp.pad(w1, ((0, 32 - w1.shape[0]), (0, 0)))
+    w2m = (
+        k2.astype(jnp.float32) * scale2.astype(jnp.float32)
+    ).reshape(9, 64, 64).astype(jnp.bfloat16)
+    b2 = bias2.astype(jnp.float32).reshape(1, 64)
+
+    in_spec = pl.BlockSpec(
+        (1, 1, 2 * th + 5, w2 + 1), lambda bi, ti: (bi, ti, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        functools.partial(_pair_kernel, th=th, w2=w2, n_t=n_t, relu2=relu2),
+        grid=(b, n_t),
+        in_specs=[in_spec] * 3 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(
+            (1, 1, th, w2, 64), lambda bi, ti: (bi, ti, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_t, th, w2, 64), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((32, w2), jnp.float32),
+            pltpu.VMEM((th + 2, w2 + 2, 64), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(*tiles_c, w1, w2m, b2)
+    return out.reshape(b, n_t * th, w2, 64)[:, :h2]
+
+
 def _plain(x, k):
     return jax.lax.conv_general_dilated(
         x, k.astype(x.dtype), (2, 2), [(1, 1), (1, 1)],

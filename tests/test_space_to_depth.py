@@ -141,3 +141,61 @@ def test_stem_dma_variant_matches_tiles():
     finally:
         stem_mod.set_stem_variant("tiles")
     np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_stem_s1_pair_fused_matches_chain():
+    """Fused S1_1+S1_2 pair kernel (deploy path) vs the XLA two-conv chain
+    with folded BNs — interpret mode on CPU."""
+    from mds_tpu.ops.pallas.stem import stem_s1_pair_fused
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(0, 1, (2, 32, 48, 3)), jnp.bfloat16)
+    k1 = jnp.asarray(rng.normal(0, 0.2, (3, 3, 3, 64)), jnp.float32)
+    s1 = jnp.asarray(rng.normal(1, 0.1, (64,)), jnp.float32)
+    b1 = jnp.asarray(rng.normal(0, 0.1, (64,)), jnp.float32)
+    k2 = jnp.asarray(rng.normal(0, 0.1, (3, 3, 64, 64)), jnp.float32)
+    s2 = jnp.asarray(rng.normal(1, 0.1, (64,)), jnp.float32)
+    b2 = jnp.asarray(rng.normal(0, 0.1, (64,)), jnp.float32)
+
+    def conv(x, k, stride):
+        return jax.lax.conv_general_dilated(
+            x, k.astype(x.dtype), (stride, stride), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+
+    y1 = jnp.maximum(conv(x, k1, 2) * s1 + b1, 0).astype(jnp.bfloat16)
+    want = jnp.maximum(conv(y1, k2, 1) * s2 + b2, 0).astype(jnp.bfloat16)
+    got = stem_s1_pair_fused(x, k1, s1, b1, k2, s2, b2, interpret=True)
+    assert got.shape == want.shape == (2, 16, 24, 64)
+    err = np.abs(np.asarray(got, np.float32) - np.asarray(want, np.float32))
+    assert err.max() < 0.1, err.max()  # one extra bf16 rounding allowed
+    # exactness check in relative terms against the magnitude
+    rel = err.max() / max(np.abs(np.asarray(want, np.float32)).max(), 1)
+    assert rel < 2e-2, rel
+
+
+def test_detail_fuse_branch_matches_unfused():
+    """DetailBranch with set_detail_fuse(True) equals the plain eval path."""
+    from mds_tpu.models import layers
+    from mds_tpu.models.bisenetv2 import DetailBranch
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(0, 1, (1, 32, 32, 3)), jnp.bfloat16)
+    m = DetailBranch(n_bn=1, dtype=jnp.bfloat16)
+    v = m.init(jax.random.PRNGKey(0), [x], train=False)
+    v = jax.tree_util.tree_map(np.asarray, v)
+    # non-trivial BN stats on the fused pair
+    for name in ("S1_1", "S1_2"):
+        v["batch_stats"][name]["bn"]["mean"] = rng.normal(
+            0, 0.1, (1, 64)).astype(np.float32)
+        v["batch_stats"][name]["bn"]["var"] = rng.uniform(
+            0.5, 1.5, (1, 64)).astype(np.float32)
+    (want,) = m.apply(v, [x], train=False)
+    layers.set_detail_fuse(True)
+    try:
+        (got,) = m.apply(v, [x], train=False)
+    finally:
+        layers.set_detail_fuse(False)
+    err = np.abs(np.asarray(got, np.float32) - np.asarray(want, np.float32))
+    assert err.max() < 0.1, err.max()
