@@ -38,14 +38,18 @@ def _kernel(xu0, xu1, xu2, w_ref, out_ref, a_ref, *, th: int, w2: int, o: int,
             relu: bool = False):
     """One grid step: th output rows × full output width.
 
-    xu{c}: (1, 1, 2·th+1, w2+1) u32 — bf16 column pairs of the padded plane.
+    xu{c}: (1, 1, 2·th+5, w2+1) u32 — bf16 column pairs of the padded plane,
+    in the SHARED pair-kernel tile geometry (top pad 3, so the conv's first
+    tap row sits at tile row 2 — see _make_tiles; sharing one geometry lets
+    XLA CSE this prep with stem_s1_pair_fused's when both kernels read the
+    same image).
     w_ref: (32, No) f32 — rows are taps (dy, dx, c) row-major, zero-padded;
     when BN is folded, row 27 holds the bias (the patch matrix's pad row 27
     is set to ones). out_ref: (1, 1, th, w2, o) f32, or bf16 when fused.
     a_ref: (32, w2) f32 scratch (patch matrix)."""
     planes = []
     for xu in (xu0, xu1, xu2):
-        u = xu[0, 0]  # (2th+1, w2+1) u32
+        u = xu[0, 0]  # (2th+5, w2+1) u32
         ev = pltpu.bitcast(u << 16, jnp.float32)
         od = pltpu.bitcast(u & jnp.uint32(0xFFFF0000), jnp.float32)
         planes.append((ev, od))
@@ -58,7 +62,7 @@ def _kernel(xu0, xu1, xu2, w_ref, out_ref, a_ref, *, th: int, w2: int, o: int,
     for y in range(th):
         k = 0
         for dy in range(3):
-            r = 2 * y + dy
+            r = 2 * y + dy + 2  # +2: pair-geometry tiles carry 2 extra halo rows
             for dx in (-1, 0, 1):
                 for c in range(3):
                     ev, od = planes[c]
@@ -89,6 +93,37 @@ def _kernel(xu0, xu1, xu2, w_ref, out_ref, a_ref, *, th: int, w2: int, o: int,
             out_ref[0, 0, y] = out[:, :o]
 
 
+def _make_tiles(x: jax.Array, th: int):
+    """Shared tile prep: per-channel padded planes → u32 column pairs →
+    overlapping row tiles (stride 2·th, height 2·th+5, top pad 3 = 1 conv
+    pad + 2 halo rows; BlockSpec can't express overlap). ONE geometry for
+    every stem-family kernel so XLA CSE collapses the prep chains when
+    multiple kernels consume the same image (profiled v5e 2026-08-17: two
+    geometries cost a second full pad+bitcast+stack chain + its HBM copy,
+    ~0.9 ms/iter at 1024×2048)."""
+    b, h, w, _ = x.shape
+    h2, w2 = h // 2, w // 2
+    n_t = -(-h2 // th)
+    rows_need = 16 * (n_t - 1) + 2 * th + 5
+    pad_bot = rows_need - (h + 3)
+    tiles_c = []
+    for ci in range(3):
+        p = jnp.pad(x[..., ci], ((0, 0), (3, max(pad_bot, 1)), (1, 1)))
+        pu = jax.lax.bitcast_convert_type(
+            p.reshape(b, p.shape[1], w2 + 1, 2), jnp.uint32
+        )  # (B, Hp, w2+1)
+        tiles = jnp.stack(
+            [
+                jax.lax.slice_in_dim(pu, i * 2 * th, i * 2 * th + 2 * th + 5,
+                                     axis=1)
+                for i in range(n_t)
+            ],
+            axis=1,
+        )  # (B, nT, 2th+5, w2+1)
+        tiles_c.append(tiles)
+    return tiles_c, n_t, w2
+
+
 @functools.partial(jax.jit, static_argnames=("th", "interpret", "relu"))
 def _stem_fwd(x: jax.Array, k: jax.Array, th: int = 8,
               interpret: bool = False, scale=None, bias=None,
@@ -100,27 +135,7 @@ def _stem_fwd(x: jax.Array, k: jax.Array, th: int = 8,
     assert x.dtype == jnp.bfloat16, x.dtype
     fused = scale is not None
     h2, w2 = h // 2, w // 2
-    n_t = -(-h2 // th)
-
-    # XLA prep: per-channel padded planes → u32 column pairs → overlapping
-    # row tiles (stride 2·th, height 2·th+1; BlockSpec can't express overlap)
-    pad_rows = 2 * n_t * th + 1 - (h + 1)  # rows needed beyond h+1
-    outs = []
-    tiles_c = []
-    for ci in range(3):
-        p = x[..., ci]  # (B, H, W)
-        p = jnp.pad(p, ((0, 0), (1, 1 + pad_rows), (1, 1)))
-        pu = jax.lax.bitcast_convert_type(
-            p.reshape(b, p.shape[1], w2 + 1, 2), jnp.uint32
-        )  # (B, Hp, w2+1)
-        tiles = jnp.stack(
-            [
-                jax.lax.slice_in_dim(pu, i * 2 * th, i * 2 * th + 2 * th + 1, axis=1)
-                for i in range(n_t)
-            ],
-            axis=1,
-        )  # (B, nT, 2th+1, w2+1)
-        tiles_c.append(tiles)
+    tiles_c, n_t, _ = _make_tiles(x, th)
 
     no = max(32, -(-o // 32) * 32)
     wm_rows = [k[dy, (dx + 1), ci] for dy in range(3) for dx in (-1, 0, 1)
@@ -134,7 +149,7 @@ def _stem_fwd(x: jax.Array, k: jax.Array, th: int = 8,
     wm = jnp.pad(wm, ((0, 32 - wm.shape[0]), (0, no - o)))
 
     in_spec = pl.BlockSpec(
-        (1, 1, 2 * th + 1, w2 + 1), lambda bi, ti: (bi, ti, 0, 0),
+        (1, 1, 2 * th + 5, w2 + 1), lambda bi, ti: (bi, ti, 0, 0),
         memory_space=pltpu.VMEM,
     )
     out_dtype = jnp.bfloat16 if fused else jnp.float32
@@ -390,24 +405,8 @@ def stem_s1_pair_fused(x: jax.Array, k1: jax.Array, scale1: jax.Array,
     n_t = -(-h2 // th)
 
     # tile ti needs padded input rows [16·ti, 16·ti + 2·th + 5) — top pad 3
-    # (1 conv pad + 2 S1_1-halo rows), bottom pad to the last tile's reach
-    rows_need = 16 * (n_t - 1) + 2 * th + 5
-    pad_bot = rows_need - (h + 3)
-    tiles_c = []
-    for ci in range(3):
-        p = jnp.pad(x[..., ci], ((0, 0), (3, max(pad_bot, 1)), (1, 1)))
-        pu = jax.lax.bitcast_convert_type(
-            p.reshape(b, p.shape[1], w2 + 1, 2), jnp.uint32
-        )
-        tiles = jnp.stack(
-            [
-                jax.lax.slice_in_dim(pu, i * 2 * th, i * 2 * th + 2 * th + 5,
-                                     axis=1)
-                for i in range(n_t)
-            ],
-            axis=1,
-        )  # (B, nT, 2th+5, w2+1)
-        tiles_c.append(tiles)
+    # (1 conv pad + 2 S1_1-halo rows); shared geometry with _stem_fwd
+    tiles_c, _, _ = _make_tiles(x, th)
 
     w1_rows = [k1[dy, (dx + 1), ci] for dy in range(3) for dx in (-1, 0, 1)
                for ci in range(3)]
