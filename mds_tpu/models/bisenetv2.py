@@ -64,7 +64,7 @@ class DetailBranch(nn.Module):
         if fuse:
             # deploy path: S1_1+S1_2 as one Pallas kernel — the S1_1
             # activation stays in VMEM (see layers.set_detail_fuse)
-            from mds_tpu.ops.pallas.stem import stem_s1_pair_fused
+            from mds_tpu.ops.pallas.stem import get_stem_th, stem_s1_pair_fused
 
             k1, cf1 = s1_1(xs, train=False, emit="folded")
             k2, cf2 = s1_2(xs, train=False, emit="folded", emit_c_in=64)
@@ -72,7 +72,8 @@ class DetailBranch(nn.Module):
             xs = [
                 None if x is None else stem_s1_pair_fused(
                     x.astype(self.dtype), k1, cf1[i][0], cf1[i][1],
-                    k2, cf2[i][0], cf2[i][1], interpret=interp,
+                    k2, cf2[i][0], cf2[i][1], th=get_stem_th(),
+                    interpret=interp,
                 )
                 for i, x in enumerate(xs)
             ]

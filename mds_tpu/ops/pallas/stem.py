@@ -104,7 +104,7 @@ def _make_tiles(x: jax.Array, th: int):
     b, h, w, _ = x.shape
     h2, w2 = h // 2, w // 2
     n_t = -(-h2 // th)
-    rows_need = 16 * (n_t - 1) + 2 * th + 5
+    rows_need = 2 * th * (n_t - 1) + 2 * th + 5
     pad_bot = rows_need - (h + 3)
     tiles_c = []
     for ci in range(3):
@@ -451,7 +451,8 @@ def _plain(x, k):
 def stem_conv3x3_s2(x: jax.Array, k: jax.Array) -> jax.Array:
     """conv(k=3, s=2, pad=1) on a 3-channel bf16 NHWC input via the Pallas
     stem kernel. x (B,H,W,3) bf16, H,W even; k (3,3,3,O). → (B,H/2,W/2,O)."""
-    return _stem_fwd(x, k, interpret=jax.default_backend() != "tpu")
+    return _stem_fwd(x, k, th=_STEM_TH,
+                     interpret=jax.default_backend() != "tpu")
 
 
 # Measured in-graph on v5e (bench.py, 2026-08-17): "tiles" 123.6 FPS vs
@@ -461,11 +462,24 @@ def stem_conv3x3_s2(x: jax.Array, k: jax.Array) -> jax.Array:
 # up (very tall images).
 _STEM_VARIANT = "tiles"  # "tiles" | "dma"
 
+# Output rows per grid step (at the /2 resolution). One global so every
+# stem-family kernel keeps the SAME tile geometry (the CSE contract above).
+_STEM_TH = 8
+
 
 def set_stem_variant(v: str) -> None:
     assert v in ("dma", "tiles"), v
     global _STEM_VARIANT
     _STEM_VARIANT = v
+
+
+def set_stem_th(th: int) -> None:
+    global _STEM_TH
+    _STEM_TH = int(th)
+
+
+def get_stem_th() -> int:
+    return _STEM_TH
 
 
 def stem_conv_bn_relu_s2(x: jax.Array, k: jax.Array, scale: jax.Array,
@@ -478,7 +492,8 @@ def stem_conv_bn_relu_s2(x: jax.Array, k: jax.Array, scale: jax.Array,
     scale = γ·rsqrt(var+eps), bias = β − mean·scale."""
     interp = jax.default_backend() != "tpu"
     impl = _stem_fwd_dma if (_STEM_VARIANT == "dma" and not interp) else _stem_fwd
-    return impl(x, k, interpret=interp, scale=scale, bias=bias, relu=relu)
+    return impl(x, k, th=_STEM_TH, interpret=interp, scale=scale,
+                bias=bias, relu=relu)
 
 
 def _fwd(x, k):
