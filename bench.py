@@ -44,10 +44,16 @@ def main():
     # and ReLU are folded into the kernel (bf16 out) — together 93.7 (r1)
     # → 121.9 FPS.
     set_stem_impl("pallas")
-    # Fused S1_1+S1_2 detail pair (ops/pallas/stem.py stem_s1_pair_fused):
-    # the S1_1 activation never leaves VMEM; stage-B taps PAIRED to K=128
-    # MXU dots. Measured subchain 2026-08-17: 2.82 ms (pallas stem + XLA
-    # S1_2) → 2.39 ms fused.
+    # Deploy cross-layer fusions (ops/pallas/stem.py):
+    #  * stem_s1_pair_fused — detail S1_1+S1_2 as one kernel, S1_1 never
+    #    leaves VMEM; stage-B taps PAIRED to K=128 MXU dots (2.82 → 2.39 ms
+    #    subchain, 2026-08-17);
+    #  * stemblock_fused — the whole segment-branch StemBlock (stem conv →
+    #    left 1×1 → left 3×3 s2 ‖ maxpool → concat → fuse conv) as ONE
+    #    kernel; the 8/16/32-channel ops that lane-starve XLA all stay in
+    #    VMEM (≈1.6 ms of conv+maxpool+layout copies → in-kernel);
+    #  * both consume ONE shared input-tile stack (XLA CSE merges the
+    #    preps). Together: 121.6 → 133-142 FPS (2026-08-17).
     set_detail_fuse(True)
     # NOT enabled: set_pred_impl("fused") (ops/pallas/upsample_argmax.py).
     # Measured 2026-08-17 standalone at (1,128,256,19)->x8: XLA resize+argmax

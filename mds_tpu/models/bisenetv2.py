@@ -99,13 +99,50 @@ class StemBlock(nn.Module):
 
     @nn.compact
     def __call__(self, xs: MultiX, *, train: bool):
+        from mds_tpu.models.layers import get_detail_fuse
+
         cfg = dict(n_bn=self.n_bn, shared_affine=self.shared_affine, dtype=self.dtype)
-        xs = ConvBNReLU(16, 3, stride=2, name="conv", **cfg)(xs, train=train)
-        left = ConvBNReLU(8, 1, name="left_1", **cfg)(xs, train=train)
-        left = ConvBNReLU(16, 3, stride=2, name="left_2", **cfg)(left, train=train)
+        conv = ConvBNReLU(16, 3, stride=2, name="conv", **cfg)
+        left_1 = ConvBNReLU(8, 1, name="left_1", **cfg)
+        left_2 = ConvBNReLU(16, 3, stride=2, name="left_2", **cfg)
+        fuse_conv = ConvBNReLU(16, 3, name="fuse", **cfg)
+        fuse = (
+            not train and get_detail_fuse() and self.dtype == jnp.bfloat16
+            and all(
+                x is None
+                or (x.shape[-1] == 3 and x.shape[1] % 16 == 0
+                    and x.shape[2] % 4 == 0)
+                for x in xs
+            )
+        )
+        if fuse:
+            # deploy path: the whole StemBlock as ONE Pallas kernel — stem,
+            # left path, maxpool and fuse conv never leave VMEM
+            # (ops/pallas/stem.py stemblock_fused)
+            from mds_tpu.ops.pallas.stem import get_stem_th, stemblock_fused
+
+            k_s, cf_s = conv(xs, train=False, emit="folded")
+            k_l1, cf_l1 = left_1(xs, train=False, emit="folded", emit_c_in=16)
+            k_l2, cf_l2 = left_2(xs, train=False, emit="folded", emit_c_in=8)
+            k_f, cf_f = fuse_conv(xs, train=False, emit="folded", emit_c_in=32)
+            interp = jax.default_backend() != "tpu"
+            return [
+                None if x is None else stemblock_fused(
+                    x.astype(self.dtype),
+                    k_s, cf_s[i][0], cf_s[i][1],
+                    k_l1, cf_l1[i][0], cf_l1[i][1],
+                    k_l2, cf_l2[i][0], cf_l2[i][1],
+                    k_f, cf_f[i][0], cf_f[i][1],
+                    th=get_stem_th(), interpret=interp,
+                )
+                for i, x in enumerate(xs)
+            ]
+        xs = conv(xs, train=train)
+        left = left_1(xs, train=train)
+        left = left_2(left, train=train)
         right = lmap(max_pool_3x3_s2, xs)
         xs = lmap2(lambda l, r: jnp.concatenate([l, r], axis=-1), left, right)
-        xs = ConvBNReLU(16, 3, name="fuse", **cfg)(xs, train=train)
+        xs = fuse_conv(xs, train=train)
         return xs
 
 

@@ -38,11 +38,10 @@ def _kernel(xu0, xu1, xu2, w_ref, out_ref, a_ref, *, th: int, w2: int, o: int,
             relu: bool = False):
     """One grid step: th output rows × full output width.
 
-    xu{c}: (1, 1, 2·th+5, w2+1) u32 — bf16 column pairs of the padded plane,
-    in the SHARED pair-kernel tile geometry (top pad 3, so the conv's first
-    tap row sits at tile row 2 — see _make_tiles; sharing one geometry lets
-    XLA CSE this prep with stem_s1_pair_fused's when both kernels read the
-    same image).
+    xu{c}: (1, 1, 2·th+11, w2+1) u32 — bf16 column pairs of the padded
+    plane in the SHARED tile geometry (top pad 7 — see _make_tiles; sharing
+    one geometry lets XLA CSE this prep across every stem-family kernel
+    reading the same image).
     w_ref: (32, No) f32 — rows are taps (dy, dx, c) row-major, zero-padded;
     when BN is folded, row 27 holds the bias (the patch matrix's pad row 27
     is set to ones). out_ref: (1, 1, th, w2, o) f32, or bf16 when fused.
@@ -62,7 +61,7 @@ def _kernel(xu0, xu1, xu2, w_ref, out_ref, a_ref, *, th: int, w2: int, o: int,
     for y in range(th):
         k = 0
         for dy in range(3):
-            r = 2 * y + dy + 2  # +2: pair-geometry tiles carry 2 extra halo rows
+            r = 2 * y + dy + _TILE_PAD_TOP - 1  # shared-tile row base
             for dx in (-1, 0, 1):
                 for c in range(3):
                     ev, od = planes[c]
@@ -93,33 +92,41 @@ def _kernel(xu0, xu1, xu2, w_ref, out_ref, a_ref, *, th: int, w2: int, o: int,
             out_ref[0, 0, y] = out[:, :o]
 
 
+# Shared tile geometry: top pad 7 image rows, tile height 2·th+11. Sized for
+# the deepest consumer (stemblock_fused needs stem rows 8ti−3 … 8ti+9, i.e.
+# image rows 16ti−7 … 16ti+19); _kernel reads taps at row base +6 and
+# _pair_kernel at +4. ONE geometry for every stem-family kernel so XLA CSE
+# collapses the prep chains when multiple kernels consume the same image
+# (profiled v5e 2026-08-17: two geometries cost a second full
+# pad+bitcast+stack chain + its HBM copy, ~0.9 ms/iter at 1024×2048).
+_TILE_PAD_TOP = 7
+_TILE_EXTRA = 11  # tile height = 2·th + _TILE_EXTRA
+
+
 def _make_tiles(x: jax.Array, th: int):
     """Shared tile prep: per-channel padded planes → u32 column pairs →
-    overlapping row tiles (stride 2·th, height 2·th+5, top pad 3 = 1 conv
-    pad + 2 halo rows; BlockSpec can't express overlap). ONE geometry for
-    every stem-family kernel so XLA CSE collapses the prep chains when
-    multiple kernels consume the same image (profiled v5e 2026-08-17: two
-    geometries cost a second full pad+bitcast+stack chain + its HBM copy,
-    ~0.9 ms/iter at 1024×2048)."""
+    overlapping row tiles (stride 2·th; BlockSpec can't express overlap)."""
     b, h, w, _ = x.shape
     h2, w2 = h // 2, w // 2
     n_t = -(-h2 // th)
-    rows_need = 2 * th * (n_t - 1) + 2 * th + 5
-    pad_bot = rows_need - (h + 3)
+    height = 2 * th + _TILE_EXTRA
+    rows_need = 2 * th * (n_t - 1) + height
+    pad_bot = rows_need - (h + _TILE_PAD_TOP)
     tiles_c = []
     for ci in range(3):
-        p = jnp.pad(x[..., ci], ((0, 0), (3, max(pad_bot, 1)), (1, 1)))
+        p = jnp.pad(x[..., ci],
+                    ((0, 0), (_TILE_PAD_TOP, max(pad_bot, 1)), (1, 1)))
         pu = jax.lax.bitcast_convert_type(
             p.reshape(b, p.shape[1], w2 + 1, 2), jnp.uint32
         )  # (B, Hp, w2+1)
         tiles = jnp.stack(
             [
-                jax.lax.slice_in_dim(pu, i * 2 * th, i * 2 * th + 2 * th + 5,
+                jax.lax.slice_in_dim(pu, i * 2 * th, i * 2 * th + height,
                                      axis=1)
                 for i in range(n_t)
             ],
             axis=1,
-        )  # (B, nT, 2th+5, w2+1)
+        )  # (B, nT, 2th+11, w2+1)
         tiles_c.append(tiles)
     return tiles_c, n_t, w2
 
@@ -149,7 +156,7 @@ def _stem_fwd(x: jax.Array, k: jax.Array, th: int = 8,
     wm = jnp.pad(wm, ((0, 32 - wm.shape[0]), (0, no - o)))
 
     in_spec = pl.BlockSpec(
-        (1, 1, 2 * th + 5, w2 + 1), lambda bi, ti: (bi, ti, 0, 0),
+        (1, 1, 2 * th + _TILE_EXTRA, w2 + 1), lambda bi, ti: (bi, ti, 0, 0),
         memory_space=pltpu.VMEM,
     )
     out_dtype = jnp.bfloat16 if fused else jnp.float32
@@ -311,7 +318,7 @@ def _pair_kernel(xu0, xu1, xu2, w1_ref, w2_ref, b2_ref, out_ref, a_ref, s1_ref,
     custom-call and the S1_2 conv cost ~1 ms of layout copies + a 134 MB
     HBM roundtrip, trace 2026-08-17).
 
-    xu{c}: (1, 1, 2·th+5, w2+1) u32 input tiles (2 extra S1_1 halo rows).
+    xu{c}: (1, 1, 2·th+11, w2+1) u32 input tiles (shared geometry).
     w1_ref: (32, 64) f32 stage-A patch weights (+ ones-row bias, as in
     _kernel). w2_ref: (9, 64, 64) stage-B tap weights (BN scale folded).
     b2_ref: (1, 64) f32 stage-B bias. s1_ref: (th+2, w2+2, 64) bf16 scratch.
@@ -333,7 +340,7 @@ def _pair_kernel(xu0, xu1, xu2, w1_ref, w2_ref, b2_ref, out_ref, a_ref, s1_ref,
     for j in range(th + 2):
         k = 0
         for dy in range(3):
-            r = 2 * j + dy
+            r = 2 * j + dy + _TILE_PAD_TOP - 3  # shared-tile row base
             for dx in (-1, 0, 1):
                 for c in range(3):
                     ev, od = planes[c]
@@ -419,7 +426,7 @@ def stem_s1_pair_fused(x: jax.Array, k1: jax.Array, scale1: jax.Array,
     b2 = bias2.astype(jnp.float32).reshape(1, 64)
 
     in_spec = pl.BlockSpec(
-        (1, 1, 2 * th + 5, w2 + 1), lambda bi, ti: (bi, ti, 0, 0),
+        (1, 1, 2 * th + _TILE_EXTRA, w2 + 1), lambda bi, ti: (bi, ti, 0, 0),
         memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
@@ -438,6 +445,231 @@ def stem_s1_pair_fused(x: jax.Array, k1: jax.Array, scale1: jax.Array,
         interpret=interpret,
     )(*tiles_c, w1, w2m, b2)
     return out.reshape(b, n_t * th, w2, 64)[:, :h2]
+
+
+def _stemblock_kernel(xu0, xu1, xu2, wm_ref, l1w_ref, l1b_ref, l2w_ref,
+                      l2b_ref, fw_ref, fb_ref, out_ref, a_ref, tmp_ref,
+                      st_ref, c_ref, *, th4: int, w2: int, n_t: int):
+    """Fully fused BiSeNetV2 StemBlock (reference lib/models/bisenetv2.py:
+    192-229), eval-mode: stem conv(3→16, s2) → {left: 1×1(16→8) →
+    3×3 s2(8→16) ‖ right: maxpool 3×3 s2} → concat → fuse conv 3×3(32→16),
+    every BN folded, every intermediate VMEM-resident. The unfused XLA
+    graph pays ~1.3 ms at 1024×2048 on v5e for this block (8/16/32-channel
+    ops are lane-starved and layout-copy-happy; profiled 2026-08-17).
+
+    One grid step emits th4 rows at /4 resolution (th4 = th//2 of the
+    shared tile geometry). Channels live on LANES. Mosaic constraints shape
+    the layout (all probed on v5e, 2026-08-17): strided loads exist only
+    for 32-bit data with unit lane stride, and neither values nor bf16 refs
+    support strided slicing — so the stem/left_1 activations are stored
+    PHASE-SPLIT in one f32 scratch, st_ref (rows, w4+1, 48) with lanes
+    [sE 16 | sO 16 | tE 8 | tO 8] (E/O = even/odd stem columns, col index
+    shifted +1 so col 0 is the zero halo). The phase split itself bounces
+    each row through tmp_ref (w2, 24) f32: two row-strided loads are legal
+    there, and downstream every stride-2 column access becomes a unit-stride
+    col window (A = cols 0..w4−1, B = cols 1..w4) with a value lane-slice
+    picking the phase. Row stride-2 stays on dim 0 of st_ref (legal, f32).
+
+    c_ref (th4+2, w4+2, 32) bf16: concat [left2 | maxpool] rows + halo."""
+    ti = pl.program_id(1)
+    w4 = w2 // 2
+    ns = 2 * th4 + 5  # stem rows per tile
+    planes = []
+    for xu in (xu0, xu1, xu2):
+        u = xu[0, 0]
+        ev = pltpu.bitcast(u << 16, jnp.float32)
+        od = pltpu.bitcast(u & jnp.uint32(0xFFFF0000), jnp.float32)
+        planes.append((ev, od))
+    wm = wm_ref[:]
+    l1w = l1w_ref[:]
+    a_ref[27:32, :] = jnp.zeros((5, w2), jnp.float32)
+    a_ref[27:28, :] = jnp.ones((1, w2), jnp.float32)  # folded-BN bias row
+    # stage A: stem conv rows (stem row 8ti−3+j reads image rows 16ti−7+2j …
+    # 16ti−5+2j = tile rows 2j … 2j+2; the shared tiles start at 16ti−7),
+    # immediately followed by left_1 and the E/O phase split of both
+    for j in range(ns):
+        k = 0
+        for dy in range(3):
+            r = 2 * j + dy
+            for dx in (-1, 0, 1):
+                for c in range(3):
+                    ev, od = planes[c]
+                    if dx == -1:
+                        tap = jax.lax.slice(ev, (r, 0), (r + 1, w2))
+                    elif dx == 0:
+                        tap = jax.lax.slice(od, (r, 0), (r + 1, w2))
+                    else:
+                        tap = jax.lax.slice(ev, (r, 1), (r + 1, w2 + 1))
+                    a_ref[k : k + 1, :] = tap
+                    k += 1
+        row = jax.lax.dot_general(
+            a_ref[:], wm, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (w2, 32)
+        s16 = jnp.maximum(row[:, :16], 0.0)
+        # left_1: 1×1 conv 16→8 (+folded BN, ReLU); out-of-image rows are
+        # zeroed below so left_2 sees its zero padding, not relu(b1)
+        t8 = jax.lax.dot_general(
+            s16.astype(jnp.bfloat16), l1w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + l1b_ref[0]
+        t8 = jnp.maximum(t8, 0.0)
+        tmp_ref[:, :] = jnp.concatenate([s16, t8], axis=-1)  # (w2, 24)
+        eo = jnp.concatenate(
+            [tmp_ref[0 : w2 - 1 : 2, :], tmp_ref[1:w2:2, :]], axis=-1
+        )  # (w4, 48) = [E(s,t) | O(s,t)] — but lanes must be s-major; fix
+        st_ref[j, 1 : w4 + 1, :] = eo
+    # col halo (stem col −1 ≡ zero: conv pad for left_2/maxpool)
+    st_ref[:, 0:1, :] = jnp.zeros((ns, 1, 48), jnp.float32)
+    # stem rows outside the image are zero (top/bottom edges), not
+    # relu(folded-bias): first real stem row is j=3 at ti=0; rows ≥ 2·th4+3
+    # of the LAST tile are past h2 (h2 % (2·th4) == 0 asserted by caller)
+    @pl.when(ti == 0)
+    def _top():
+        st_ref[0:3, :, :] = jnp.zeros((3, w4 + 1, 48), jnp.float32)
+
+    @pl.when(ti == n_t - 1)
+    def _bot():
+        st_ref[2 * th4 + 3 :, :, :] = jnp.zeros((2, w4 + 1, 48), jnp.float32)
+
+    nm = th4 + 2  # /4 rows incl. fuse halo
+    # tap windows: /4 col p needs stem cols {2p−1, 2p, 2p+1} =
+    # {O[p−1], E[p], O[p]} → window A = st cols 0..w4−1 (O[p−1] via lanes
+    # 24:40+8), window B = st cols 1..w4 (E[p], O[p]). Lanes within eo:
+    # [sE 0:16 | tE 16:24 | sO 24:40 | tO 40:48] (concat order above).
+    mp = None
+    l2acc = jnp.broadcast_to(l2b_ref[0], (nm * w4, 16)).astype(jnp.float32)
+    l2taps = []
+    for dy in range(3):
+        rows = slice(dy, dy + 2 * nm - 1, 2)
+        a_win = st_ref[rows, 0:w4, :]
+        b_win = st_ref[rows, 1 : w4 + 1, :]
+        # maxpool over s-phases
+        s_m1 = a_win[:, :, 24:40]  # sO[p−1] = stem col 2p−1
+        s_0 = b_win[:, :, 0:16]    # sE[p]   = stem col 2p
+        s_p1 = b_win[:, :, 24:40]  # sO[p]   = stem col 2p+1
+        m = jnp.maximum(jnp.maximum(s_m1, s_0), s_p1)
+        mp = m if mp is None else jnp.maximum(mp, m)
+        # left_2 taps (t-phases), lane-concat per dy → (nm, w4, 24)
+        l2taps.append(
+            jnp.concatenate(
+                [a_win[:, :, 40:48], b_win[:, :, 16:24], b_win[:, :, 40:48]],
+                axis=-1,
+            ).astype(jnp.bfloat16)
+        )
+    # left_2 contraction: lane order is (dx, c) within each dy group
+    for dy in range(3):
+        l2acc = l2acc + jax.lax.dot_general(
+            l2taps[dy].reshape(nm * w4, 24), l2w_ref[dy],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    l2 = jnp.maximum(l2acc, 0.0).astype(jnp.bfloat16).reshape(nm, w4, 16)
+    c_ref[:, 1 : w4 + 1, :] = jnp.concatenate(
+        [l2, mp.astype(jnp.bfloat16)], axis=-1
+    )
+    c_ref[:, 0:1, :] = jnp.zeros((nm, 1, 32), jnp.bfloat16)
+    c_ref[:, w4 + 1 :, :] = jnp.zeros((nm, 1, 32), jnp.bfloat16)
+    # fuse conv's top/bottom zero padding replaces the out-of-image halo row
+    @pl.when(ti == 0)
+    def _topc():
+        c_ref[0:1, :, :] = jnp.zeros((1, w4 + 2, 32), jnp.bfloat16)
+
+    @pl.when(ti == n_t - 1)
+    def _botc():
+        c_ref[nm - 1 :, :, :] = jnp.zeros((1, w4 + 2, 32), jnp.bfloat16)
+
+    # fuse: 3×3 s1 conv 32→16 (+folded BN, ReLU)
+    acc = jnp.broadcast_to(fb_ref[0], (th4 * w4, 16)).astype(jnp.float32)
+    for dx in range(3):
+        lhs = jnp.concatenate(
+            [c_ref[dy : dy + th4, dx : dx + w4, :] for dy in range(3)],
+            axis=-1,
+        )
+        acc = acc + jax.lax.dot_general(
+            lhs.reshape(th4 * w4, 96), fw_ref[dx],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out = jnp.maximum(acc, 0.0)
+    out_ref[0, 0] = out.reshape(th4, w4, 16).astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("th", "interpret"))
+def stemblock_fused(x: jax.Array,
+                    k_s: jax.Array, scale_s: jax.Array, bias_s: jax.Array,
+                    k_l1: jax.Array, scale_l1: jax.Array, bias_l1: jax.Array,
+                    k_l2: jax.Array, scale_l2: jax.Array, bias_l2: jax.Array,
+                    k_f: jax.Array, scale_f: jax.Array, bias_f: jax.Array,
+                    th: int = 8, interpret: bool = False) -> jax.Array:
+    """BiSeNetV2 StemBlock, deploy-fused (see _stemblock_kernel). x
+    (B,H,W,3) bf16, H % (2·th) == 0 and W % 4 == 0; k_s (3,3,3,16),
+    k_l1 (1,1,16,8), k_l2 (3,3,8,16), k_f (3,3,32,16); scale/bias are the
+    folded eval-BN coefficients per conv. → (B,H/4,W/4,16) bf16."""
+    b, h, w, c = x.shape
+    assert c == 3 and x.dtype == jnp.bfloat16, (x.shape, x.dtype)
+    assert h % (2 * th) == 0 and w % 4 == 0, (h, w, th)
+    assert k_s.shape == (3, 3, 3, 16) and k_l1.shape == (1, 1, 16, 8)
+    assert k_l2.shape == (3, 3, 8, 16) and k_f.shape == (3, 3, 32, 16)
+    assert th % 2 == 0, th
+    th4 = th // 2
+    h4, w4 = h // 4, w // 4
+    tiles_c, n_t, w2 = _make_tiles(x, th)
+
+    f32 = jnp.float32
+    wm_rows = [k_s[dy, (dx + 1), ci] for dy in range(3) for dx in (-1, 0, 1)
+               for ci in range(3)]
+    wm = jnp.stack(wm_rows).astype(f32) * scale_s.astype(f32)
+    wm = jnp.concatenate([wm, bias_s.astype(f32)[None, :]], axis=0)
+    wm = jnp.pad(wm, ((0, 32 - wm.shape[0]), (0, 16)))  # (32, 32)
+
+    l1w = (k_l1[0, 0].astype(f32) * scale_l1.astype(f32)).astype(jnp.bfloat16)
+    l1b = bias_l1.astype(f32).reshape(1, 8)
+    # left_2 taps are lane-concatenated per dy in (dx, c) order
+    l2w = jnp.stack(
+        [
+            jnp.concatenate(
+                [k_l2[dy, dx].astype(f32) * scale_l2.astype(f32)
+                 for dx in range(3)], axis=0
+            )
+            for dy in range(3)
+        ]
+    ).astype(jnp.bfloat16)  # (3, 24, 16)
+    l2b = bias_l2.astype(f32).reshape(1, 16)
+    fw = jnp.stack(
+        [
+            jnp.concatenate(
+                [k_f[dy, dx].astype(f32) * scale_f.astype(f32)
+                 for dy in range(3)], axis=0
+            )
+            for dx in range(3)
+        ]
+    ).astype(jnp.bfloat16)  # (3, 96, 16)
+    fb = bias_f.astype(f32).reshape(1, 16)
+
+    in_spec = pl.BlockSpec(
+        (1, 1, 2 * th + _TILE_EXTRA, w2 + 1), lambda bi, ti: (bi, ti, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_stemblock_kernel, th4=th4, w2=w2, n_t=n_t),
+        grid=(b, n_t),
+        in_specs=[in_spec] * 3 + [w_spec] * 7,
+        out_specs=pl.BlockSpec(
+            (1, 1, th4, w4, 16), lambda bi, ti: (bi, ti, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_t, th4, w4, 16), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((32, w2), jnp.float32),
+            pltpu.VMEM((w2, 24), jnp.float32),
+            pltpu.VMEM((2 * th4 + 5, w4 + 1, 48), jnp.float32),
+            pltpu.VMEM((th4 + 2, w4 + 2, 32), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(*tiles_c, wm, l1w, l1b, l2w, l2b, fw, fb)
+    return out.reshape(b, h4, w4, 16)
 
 
 def _plain(x, k):

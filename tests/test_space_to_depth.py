@@ -175,6 +175,77 @@ def test_stem_s1_pair_fused_matches_chain():
     assert rel < 2e-2, rel
 
 
+def test_stemblock_fused_matches_chain():
+    """Fully fused StemBlock kernel vs the XLA chain (stem conv → left 1×1 →
+    left 3×3 s2 ‖ maxpool → concat → fuse conv), folded BNs — interpret
+    mode on CPU."""
+    import flax.linen as fnn
+
+    from mds_tpu.ops.pallas.stem import stemblock_fused
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0, 1, (2, 32, 48, 3)), jnp.bfloat16)
+
+    def mk(shape, s=0.2):
+        return jnp.asarray(rng.normal(0, s, shape), jnp.float32)
+
+    k_s, k_l1 = mk((3, 3, 3, 16)), mk((1, 1, 16, 8), 0.3)
+    k_l2, k_f = mk((3, 3, 8, 16)), mk((3, 3, 32, 16))
+    sc = lambda n: jnp.asarray(rng.normal(1, 0.1, (n,)), jnp.float32)
+    bi = lambda n: jnp.asarray(rng.normal(0, 0.1, (n,)), jnp.float32)
+    s_s, b_s, s_l1, b_l1 = sc(16), bi(16), sc(8), bi(8)
+    s_l2, b_l2, s_f, b_f = sc(16), bi(16), sc(16), bi(16)
+
+    def conv(x, k, stride, pad=1):
+        return jax.lax.conv_general_dilated(
+            x, k.astype(x.dtype), (stride, stride), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+
+    def cbr(x, k, s, b, stride=1, pad=1):
+        return jnp.maximum(conv(x, k, stride, pad) * s + b, 0).astype(
+            jnp.bfloat16
+        )
+
+    stem = cbr(x, k_s, s_s, b_s, 2)
+    left = cbr(cbr(stem, k_l1, s_l1, b_l1, 1, 0), k_l2, s_l2, b_l2, 2)
+    right = fnn.max_pool(stem, (3, 3), strides=(2, 2),
+                         padding=[(1, 1), (1, 1)])
+    want = cbr(jnp.concatenate([left, right], -1), k_f, s_f, b_f, 1)
+    got = stemblock_fused(x, k_s, s_s, b_s, k_l1, s_l1, b_l1,
+                          k_l2, s_l2, b_l2, k_f, s_f, b_f, interpret=True)
+    assert got.shape == want.shape == (2, 8, 12, 16)
+    err = np.abs(np.asarray(got, np.float32) - np.asarray(want, np.float32))
+    assert err.max() < 0.1, err.max()
+
+
+def test_stemblock_fuse_module_matches_unfused():
+    """StemBlock with set_detail_fuse(True) equals the plain eval path."""
+    from mds_tpu.models import layers
+    from mds_tpu.models.bisenetv2 import StemBlock
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(0, 1, (1, 32, 32, 3)), jnp.bfloat16)
+    m = StemBlock(n_bn=1, dtype=jnp.bfloat16)
+    v = m.init(jax.random.PRNGKey(0), [x], train=False)
+    v = jax.tree_util.tree_map(np.asarray, v)
+    for name in ("conv", "left_1", "left_2", "fuse"):
+        n = v["batch_stats"][name]["bn"]["mean"].shape[-1]
+        v["batch_stats"][name]["bn"]["mean"] = rng.normal(
+            0, 0.1, (1, n)).astype(np.float32)
+        v["batch_stats"][name]["bn"]["var"] = rng.uniform(
+            0.5, 1.5, (1, n)).astype(np.float32)
+    (want,) = m.apply(v, [x], train=False)
+    layers.set_detail_fuse(True)
+    try:
+        (got,) = m.apply(v, [x], train=False)
+    finally:
+        layers.set_detail_fuse(False)
+    err = np.abs(np.asarray(got, np.float32) - np.asarray(want, np.float32))
+    assert err.max() < 0.1, err.max()
+
+
 def test_detail_fuse_branch_matches_unfused():
     """DetailBranch with set_detail_fuse(True) equals the plain eval path."""
     from mds_tpu.models import layers
