@@ -53,7 +53,7 @@ def main():
     #    kernel; the 8/16/32-channel ops that lane-starve XLA all stay in
     #    VMEM (≈1.6 ms of conv+maxpool+layout copies → in-kernel);
     #  * both consume ONE shared input-tile stack (XLA CSE merges the
-    #    preps). Together: 121.6 → 133-142 FPS (2026-08-17).
+    #    preps). Together: 121.6 → 147 FPS (2026-08-17).
     set_detail_fuse(True)
     # NOT enabled: set_pred_impl("fused") (ops/pallas/upsample_argmax.py).
     # Measured 2026-08-17 standalone at (1,128,256,19)->x8: XLA resize+argmax

@@ -448,8 +448,8 @@ def stem_s1_pair_fused(x: jax.Array, k1: jax.Array, scale1: jax.Array,
 
 
 def _stemblock_kernel(xu0, xu1, xu2, wm_ref, l1w_ref, l1b_ref, l2w_ref,
-                      l2b_ref, fw_ref, fb_ref, out_ref, a_ref, tmp_ref,
-                      st_ref, c_ref, *, th4: int, w2: int, n_t: int):
+                      l2b_ref, fw_ref, fb_ref, out_ref, a_ref, st_ref,
+                      c_ref, *, th4: int, w2: int, n_t: int):
     """Fully fused BiSeNetV2 StemBlock (reference lib/models/bisenetv2.py:
     192-229), eval-mode: stem conv(3→16, s2) → {left: 1×1(16→8) →
     3×3 s2(8→16) ‖ right: maxpool 3×3 s2} → concat → fuse conv 3×3(32→16),
@@ -458,17 +458,12 @@ def _stemblock_kernel(xu0, xu1, xu2, wm_ref, l1w_ref, l1b_ref, l2w_ref,
     ops are lane-starved and layout-copy-happy; profiled 2026-08-17).
 
     One grid step emits th4 rows at /4 resolution (th4 = th//2 of the
-    shared tile geometry). Channels live on LANES. Mosaic constraints shape
-    the layout (all probed on v5e, 2026-08-17): strided loads exist only
-    for 32-bit data with unit lane stride, and neither values nor bf16 refs
-    support strided slicing — so the stem/left_1 activations are stored
-    PHASE-SPLIT in one f32 scratch, st_ref (rows, w4+1, 48) with lanes
-    [sE 16 | sO 16 | tE 8 | tO 8] (E/O = even/odd stem columns, col index
-    shifted +1 so col 0 is the zero halo). The phase split itself bounces
-    each row through tmp_ref (w2, 24) f32: two row-strided loads are legal
-    there, and downstream every stride-2 column access becomes a unit-stride
-    col window (A = cols 0..w4−1, B = cols 1..w4) with a value lane-slice
-    picking the phase. Row stride-2 stays on dim 0 of st_ref (legal, f32).
+    shared tile geometry). Channels live on LANES; the stem + left_1
+    activations sit UNSPLIT in one f32 scratch st_ref (rows, w2+2, 24)
+    (lanes [s 16 | t 8], cols shifted +1 for the zero halo) because of a
+    Mosaic constraint probed on v5e (2026-08-17): strided loads exist only
+    for 32-bit data with unit lane stride — f32 (2,2,1)-strided taps are
+    legal, while neither bf16 refs nor in-register values stride at all.
 
     c_ref (th4+2, w4+2, 32) bf16: concat [left2 | maxpool] rows + halo."""
     ti = pl.program_id(1)
@@ -486,7 +481,7 @@ def _stemblock_kernel(xu0, xu1, xu2, wm_ref, l1w_ref, l1b_ref, l2w_ref,
     a_ref[27:28, :] = jnp.ones((1, w2), jnp.float32)  # folded-BN bias row
     # stage A: stem conv rows (stem row 8ti−3+j reads image rows 16ti−7+2j …
     # 16ti−5+2j = tile rows 2j … 2j+2; the shared tiles start at 16ti−7),
-    # immediately followed by left_1 and the E/O phase split of both
+    # immediately followed by left_1
     for j in range(ns):
         k = 0
         for dy in range(3):
@@ -514,54 +509,39 @@ def _stemblock_kernel(xu0, xu1, xu2, wm_ref, l1w_ref, l1b_ref, l2w_ref,
             preferred_element_type=jnp.float32,
         ) + l1b_ref[0]
         t8 = jnp.maximum(t8, 0.0)
-        tmp_ref[:, :] = jnp.concatenate([s16, t8], axis=-1)  # (w2, 24)
-        eo = jnp.concatenate(
-            [tmp_ref[0 : w2 - 1 : 2, :], tmp_ref[1:w2:2, :]], axis=-1
-        )  # (w4, 48) = [E(s,t) | O(s,t)] — but lanes must be s-major; fix
-        st_ref[j, 1 : w4 + 1, :] = eo
-    # col halo (stem col −1 ≡ zero: conv pad for left_2/maxpool)
-    st_ref[:, 0:1, :] = jnp.zeros((ns, 1, 48), jnp.float32)
+        st_ref[j, 1 : w2 + 1, :] = jnp.concatenate([s16, t8], axis=-1)
+    # col halo (stem col −1 / w2 ≡ zero: conv pad for left_2/maxpool)
+    st_ref[:, 0:1, :] = jnp.zeros((ns, 1, 24), jnp.float32)
+    st_ref[:, w2 + 1 :, :] = jnp.zeros((ns, 1, 24), jnp.float32)
     # stem rows outside the image are zero (top/bottom edges), not
     # relu(folded-bias): first real stem row is j=3 at ti=0; rows ≥ 2·th4+3
     # of the LAST tile are past h2 (h2 % (2·th4) == 0 asserted by caller)
     @pl.when(ti == 0)
     def _top():
-        st_ref[0:3, :, :] = jnp.zeros((3, w4 + 1, 48), jnp.float32)
+        st_ref[0:3, :, :] = jnp.zeros((3, w2 + 2, 24), jnp.float32)
 
     @pl.when(ti == n_t - 1)
     def _bot():
-        st_ref[2 * th4 + 3 :, :, :] = jnp.zeros((2, w4 + 1, 48), jnp.float32)
+        st_ref[2 * th4 + 3 :, :, :] = jnp.zeros((2, w2 + 2, 24), jnp.float32)
 
     nm = th4 + 2  # /4 rows incl. fuse halo
-    # tap windows: /4 col p needs stem cols {2p−1, 2p, 2p+1} =
-    # {O[p−1], E[p], O[p]} → window A = st cols 0..w4−1 (O[p−1] via lanes
-    # 24:40+8), window B = st cols 1..w4 (E[p], O[p]). Lanes within eo:
-    # [sE 0:16 | tE 16:24 | sO 24:40 | tO 40:48] (concat order above).
+    # taps: /4 row m, col p ← stem row 2m+dy−3+…, stem col 2p+dx−1 ↔
+    # st_ref[2m+dy, 2p+dx] (col shift +1) — one (2,2,1)-strided f32 load
+    # per (dy,dx), s-part → maxpool, t-part → left_2
     mp = None
     l2acc = jnp.broadcast_to(l2b_ref[0], (nm * w4, 16)).astype(jnp.float32)
-    l2taps = []
     for dy in range(3):
-        rows = slice(dy, dy + 2 * nm - 1, 2)
-        a_win = st_ref[rows, 0:w4, :]
-        b_win = st_ref[rows, 1 : w4 + 1, :]
-        # maxpool over s-phases
-        s_m1 = a_win[:, :, 24:40]  # sO[p−1] = stem col 2p−1
-        s_0 = b_win[:, :, 0:16]    # sE[p]   = stem col 2p
-        s_p1 = b_win[:, :, 24:40]  # sO[p]   = stem col 2p+1
-        m = jnp.maximum(jnp.maximum(s_m1, s_0), s_p1)
-        mp = m if mp is None else jnp.maximum(mp, m)
-        # left_2 taps (t-phases), lane-concat per dy → (nm, w4, 24)
-        l2taps.append(
-            jnp.concatenate(
-                [a_win[:, :, 40:48], b_win[:, :, 16:24], b_win[:, :, 40:48]],
-                axis=-1,
-            ).astype(jnp.bfloat16)
-        )
-    # left_2 contraction: lane order is (dx, c) within each dy group
-    for dy in range(3):
+        l2parts = []
+        for dx in range(3):
+            tap = st_ref[dy : dy + 2 * nm - 1 : 2,
+                         dx : dx + 2 * w4 - 1 : 2, :]
+            m = tap[:, :, :16]
+            mp = m if mp is None else jnp.maximum(mp, m)
+            l2parts.append(tap[:, :, 16:24].astype(jnp.bfloat16))
+        # left_2 taps lane-concat per dy in (dx, c) order → (nm, w4, 24)
         l2acc = l2acc + jax.lax.dot_general(
-            l2taps[dy].reshape(nm * w4, 24), l2w_ref[dy],
-            (((1,), (0,)), ((), ())),
+            jnp.concatenate(l2parts, axis=-1).reshape(nm * w4, 24),
+            l2w_ref[dy], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     l2 = jnp.maximum(l2acc, 0.0).astype(jnp.bfloat16).reshape(nm, w4, 16)
@@ -663,8 +643,7 @@ def stemblock_fused(x: jax.Array,
         out_shape=jax.ShapeDtypeStruct((b, n_t, th4, w4, 16), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((32, w2), jnp.float32),
-            pltpu.VMEM((w2, 24), jnp.float32),
-            pltpu.VMEM((2 * th4 + 5, w4 + 1, 48), jnp.float32),
+            pltpu.VMEM((2 * th4 + 5, w2 + 2, 24), jnp.float32),
             pltpu.VMEM((th4 + 2, w4 + 2, 32), jnp.bfloat16),
         ],
         interpret=interpret,
