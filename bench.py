@@ -45,15 +45,15 @@ def main():
     # → 121.9 FPS.
     set_stem_impl("pallas")
     # Deploy cross-layer fusions (ops/pallas/stem.py):
-    #  * stem_s1_pair_fused — detail S1_1+S1_2 as one kernel, S1_1 never
-    #    leaves VMEM; stage-B taps PAIRED to K=128 MXU dots (2.82 → 2.39 ms
-    #    subchain, 2026-08-17);
+    #  * detail_s1s2_fused — detail S1_1+S1_2+S2_1 as one kernel; the S1
+    #    activations (134 MB of HBM in the unfused graph) never leave VMEM;
+    #    stage-B/C taps PAIRED to K=128 MXU dots;
     #  * stemblock_fused — the whole segment-branch StemBlock (stem conv →
     #    left 1×1 → left 3×3 s2 ‖ maxpool → concat → fuse conv) as ONE
     #    kernel; the 8/16/32-channel ops that lane-starve XLA all stay in
     #    VMEM (≈1.6 ms of conv+maxpool+layout copies → in-kernel);
     #  * both consume ONE shared input-tile stack (XLA CSE merges the
-    #    preps). Together: 121.6 → 147 FPS (2026-08-17).
+    #    preps). Together: 121.6 → 153 FPS (2026-08-17).
     set_detail_fuse(True)
     # NOT enabled: set_pred_impl("fused") (ops/pallas/upsample_argmax.py).
     # Measured 2026-08-17 standalone at (1,128,256,19)->x8: XLA resize+argmax

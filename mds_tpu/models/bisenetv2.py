@@ -53,34 +53,37 @@ class DetailBranch(nn.Module):
         cfg = dict(n_bn=self.n_bn, shared_affine=self.shared_affine, dtype=self.dtype)
         s1_1 = ConvBNReLU(64, 3, stride=2, name="S1_1", **cfg)
         s1_2 = ConvBNReLU(64, 3, name="S1_2", **cfg)
+        s2_1 = ConvBNReLU(64, 3, stride=2, name="S2_1", **cfg)
         fuse = (
             not train and get_detail_fuse() and self.dtype == jnp.bfloat16
             and all(
                 x is None
-                or (x.shape[-1] == 3 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+                or (x.shape[-1] == 3 and x.shape[1] % 16 == 0
+                    and x.shape[2] % 4 == 0)
                 for x in xs
             )
         )
         if fuse:
-            # deploy path: S1_1+S1_2 as one Pallas kernel — the S1_1
-            # activation stays in VMEM (see layers.set_detail_fuse)
-            from mds_tpu.ops.pallas.stem import get_stem_th, stem_s1_pair_fused
+            # deploy path: S1_1+S1_2+S2_1 as one Pallas kernel — the S1
+            # activations never reach HBM (see layers.set_detail_fuse)
+            from mds_tpu.ops.pallas.stem import detail_s1s2_fused, get_stem_th
 
             k1, cf1 = s1_1(xs, train=False, emit="folded")
             k2, cf2 = s1_2(xs, train=False, emit="folded", emit_c_in=64)
+            k3, cf3 = s2_1(xs, train=False, emit="folded", emit_c_in=64)
             interp = jax.default_backend() != "tpu"
             xs = [
-                None if x is None else stem_s1_pair_fused(
+                None if x is None else detail_s1s2_fused(
                     x.astype(self.dtype), k1, cf1[i][0], cf1[i][1],
-                    k2, cf2[i][0], cf2[i][1], th=get_stem_th(),
-                    interpret=interp,
+                    k2, cf2[i][0], cf2[i][1], k3, cf3[i][0], cf3[i][1],
+                    th=get_stem_th(), interpret=interp,
                 )
                 for i, x in enumerate(xs)
             ]
         else:
             xs = s1_1(xs, train=train)
             xs = s1_2(xs, train=train)
-        xs = ConvBNReLU(64, 3, stride=2, name="S2_1", **cfg)(xs, train=train)
+            xs = s2_1(xs, train=train)
         xs = ConvBNReLU(64, 3, name="S2_2", **cfg)(xs, train=train)
         xs = ConvBNReLU(64, 3, name="S2_3", **cfg)(xs, train=train)
         xs = ConvBNReLU(128, 3, stride=2, name="S3_1", **cfg)(xs, train=train)

@@ -447,6 +447,184 @@ def stem_s1_pair_fused(x: jax.Array, k1: jax.Array, scale1: jax.Array,
     return out.reshape(b, n_t * th, w2, 64)[:, :h2]
 
 
+def _detail_kernel(xu0, xu1, xu2, w1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                   out_ref, a_ref, s1_ref, s2_ref,
+                   *, th: int, w2: int, n_t: int):
+    """Fused detail-branch head: S1_1 (3→64, s2) → S1_2 (64→64, s1) →
+    S2_1 (64→64, s2), all with folded eval-BN+ReLU, one grid pass. The
+    S1_1 AND S1_2 activations never touch HBM — the unfused graph wrote
+    S1_2's 134 MB and paid ~0.54 ms of layout copies at the custom-call ↔
+    conv boundary plus the S2_1 conv itself (profiled v5e 2026-08-17).
+
+    Geometry: shared tiles (top pad 7). Stage A computes S1_1 rows
+    8ti−2 … 8ti+9 (th+4 rows, j ↔ row 8ti−2+j, tile row base 2);
+    stage B computes S1_2 rows 8ti−1 … 8ti+8 (th+2 rows) into a f32
+    scratch (strided loads need 32-bit); stage C emits S2_1 rows
+    4ti … 4ti+th/2−1. s2_ref cols are shifted +1 (zero halo)."""
+    ti = pl.program_id(1)
+    th4 = th // 2
+    w4 = w2 // 2
+    na = th + 4  # S1_1 rows
+    nb = th + 2  # S1_2 rows
+    planes = []
+    for xu in (xu0, xu1, xu2):
+        u = xu[0, 0]
+        ev = pltpu.bitcast(u << 16, jnp.float32)
+        od = pltpu.bitcast(u & jnp.uint32(0xFFFF0000), jnp.float32)
+        planes.append((ev, od))
+    w1 = w1_ref[:]
+    a_ref[27:32, :] = jnp.zeros((5, w2), jnp.float32)
+    a_ref[27:28, :] = jnp.ones((1, w2), jnp.float32)  # folded-BN bias row
+    s1_ref[:, 0:1, :] = jnp.zeros((na, 1, 64), jnp.bfloat16)
+    s1_ref[:, w2 + 1 : w2 + 2, :] = jnp.zeros((na, 1, 64), jnp.bfloat16)
+    # stage A: S1_1 row 8ti−2+j reads image rows 16ti−5+2j … 16ti−3+2j =
+    # tile rows 2j+2 … 2j+4
+    for j in range(na):
+        k = 0
+        for dy in range(3):
+            r = 2 * j + dy + 2
+            for dx in (-1, 0, 1):
+                for c in range(3):
+                    ev, od = planes[c]
+                    if dx == -1:
+                        tap = jax.lax.slice(ev, (r, 0), (r + 1, w2))
+                    elif dx == 0:
+                        tap = jax.lax.slice(od, (r, 0), (r + 1, w2))
+                    else:
+                        tap = jax.lax.slice(ev, (r, 1), (r + 1, w2 + 1))
+                    a_ref[k : k + 1, :] = tap
+                    k += 1
+        row = jax.lax.dot_general(
+            a_ref[:], w1, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (w2, 64)
+        row = jnp.maximum(row, 0.0)
+        s1_ref[j, 1 : w2 + 1, :] = row.astype(jnp.bfloat16)
+    # S1_1 rows outside the image are S1_2's ZERO padding
+    @pl.when(ti == 0)
+    def _top():
+        s1_ref[0:2, :, :] = jnp.zeros((2, w2 + 2, 64), jnp.bfloat16)
+
+    @pl.when(ti == n_t - 1)
+    def _bot():
+        s1_ref[th + 2 :, :, :] = jnp.zeros((2, w2 + 2, 64), jnp.bfloat16)
+
+    # stage B: S1_2 rows (taps PAIRED on the contraction axis — K=64 dots
+    # waste half the 128-deep MXU; pairs share dx so sublane offsets match)
+    def tap(dy, dx):
+        return s1_ref[dy : dy + nb, dx : dx + w2, :]
+
+    acc = jnp.broadcast_to(b2_ref[0], (nb * w2, 64)).astype(jnp.float32)
+    for dx in range(3):
+        lhs = jnp.concatenate([tap(0, dx), tap(1, dx)], axis=-1).reshape(
+            nb * w2, 128
+        )
+        w_pair = jnp.concatenate([w2_ref[0 + dx], w2_ref[3 + dx]], axis=0)
+        acc = acc + jax.lax.dot_general(
+            lhs, w_pair, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + jax.lax.dot_general(
+            tap(2, dx).reshape(nb * w2, 64), w2_ref[6 + dx],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    s2_rows = jnp.maximum(acc, 0.0).reshape(nb, w2, 64)
+    s2_ref[:, 1 : w2 + 1, :] = s2_rows
+    s2_ref[:, 0:1, :] = jnp.zeros((nb, 1, 64), jnp.float32)
+    s2_ref[:, w2 + 1 :, :] = jnp.zeros((nb, 1, 64), jnp.float32)
+    # S1_2 rows outside the image are S2_1's ZERO padding
+    @pl.when(ti == 0)
+    def _top2():
+        s2_ref[0:1, :, :] = jnp.zeros((1, w2 + 2, 64), jnp.float32)
+
+    @pl.when(ti == n_t - 1)
+    def _bot2():
+        s2_ref[nb - 1 :, :, :] = jnp.zeros((1, w2 + 2, 64), jnp.float32)
+
+    # stage C: S2_1 (3×3, s2) — /4 row q needs S1_2 rows 2q−1 … 2q+1 =
+    # s2_ref rows 2q+dy, col 2p+dx−1 = s2_ref col 2p+dx; taps via
+    # (2,2,1)-strided f32 loads, dx∈{0,1} paired to K=128 dots
+    acc = jnp.broadcast_to(b3_ref[0], (th4 * w4, 64)).astype(jnp.float32)
+    rows3 = lambda dy: slice(dy, dy + 2 * th4 - 1, 2)
+    for dy in range(3):
+        ta = s2_ref[rows3(dy), 0 : 2 * w4 - 1 : 2, :]  # dx=−1
+        tb = s2_ref[rows3(dy), 1 : 2 * w4 : 2, :]      # dx=0
+        lhs = jnp.concatenate([ta, tb], axis=-1).astype(jnp.bfloat16)
+        w_pair = jnp.concatenate([w3_ref[3 * dy], w3_ref[3 * dy + 1]], axis=0)
+        acc = acc + jax.lax.dot_general(
+            lhs.reshape(th4 * w4, 128), w_pair, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        t2 = s2_ref[rows3(dy), 2 : 2 + 2 * w4 - 1 : 2, :]  # dx=+1
+        acc = acc + jax.lax.dot_general(
+            t2.astype(jnp.bfloat16).reshape(th4 * w4, 64), w3_ref[3 * dy + 2],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out = jnp.maximum(acc, 0.0)
+    out_ref[0, 0] = out.reshape(th4, w4, 64).astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("th", "interpret"))
+def detail_s1s2_fused(x: jax.Array,
+                      k1: jax.Array, scale1: jax.Array, bias1: jax.Array,
+                      k2: jax.Array, scale2: jax.Array, bias2: jax.Array,
+                      k3: jax.Array, scale3: jax.Array, bias3: jax.Array,
+                      th: int = 8, interpret: bool = False) -> jax.Array:
+    """DetailBranch S1_1+S1_2+S2_1, deploy-fused (see _detail_kernel).
+    x (B,H,W,3) bf16, H % (2·th) == 0, W % 4 == 0; k1 (3,3,3,64),
+    k2/k3 (3,3,64,64); scale/bias are folded eval-BN coefficients.
+    → (B,H/4,W/4,64) bf16."""
+    b, h, w, c = x.shape
+    assert c == 3 and x.dtype == jnp.bfloat16, (x.shape, x.dtype)
+    assert h % (2 * th) == 0 and w % 4 == 0, (h, w, th)
+    assert th % 2 == 0, th
+    assert k1.shape == (3, 3, 3, 64), k1.shape
+    assert k2.shape == k3.shape == (3, 3, 64, 64)
+    h4, w4 = h // 4, w // 4
+    tiles_c, n_t, w2 = _make_tiles(x, th)
+
+    f32 = jnp.float32
+    w1_rows = [k1[dy, (dx + 1), ci] for dy in range(3) for dx in (-1, 0, 1)
+               for ci in range(3)]
+    w1 = jnp.stack(w1_rows).astype(f32) * scale1.astype(f32)
+    w1 = jnp.concatenate([w1, bias1.astype(f32)[None, :]], axis=0)
+    w1 = jnp.pad(w1, ((0, 32 - w1.shape[0]), (0, 0)))
+    w2m = (
+        k2.astype(f32) * scale2.astype(f32)
+    ).reshape(9, 64, 64).astype(jnp.bfloat16)
+    b2 = bias2.astype(f32).reshape(1, 64)
+    w3m = (
+        k3.astype(f32) * scale3.astype(f32)
+    ).reshape(9, 64, 64).astype(jnp.bfloat16)
+    b3 = bias3.astype(f32).reshape(1, 64)
+
+    in_spec = pl.BlockSpec(
+        (1, 1, 2 * th + _TILE_EXTRA, w2 + 1), lambda bi, ti: (bi, ti, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    th4 = th // 2
+    out = pl.pallas_call(
+        functools.partial(_detail_kernel, th=th, w2=w2, n_t=n_t),
+        grid=(b, n_t),
+        in_specs=[in_spec] * 3 + [w_spec] * 5,
+        out_specs=pl.BlockSpec(
+            (1, 1, th4, w4, 64), lambda bi, ti: (bi, ti, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_t, th4, w4, 64), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((32, w2), jnp.float32),
+            pltpu.VMEM((th + 4, w2 + 2, 64), jnp.bfloat16),
+            pltpu.VMEM((th + 2, w2 + 2, 64), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*tiles_c, w1, w2m, b2, w3m, b3)
+    return out.reshape(b, h4, w4, 64)
+
+
 def _stemblock_kernel(xu0, xu1, xu2, wm_ref, l1w_ref, l1b_ref, l2w_ref,
                       l2b_ref, fw_ref, fb_ref, out_ref, a_ref, st_ref,
                       c_ref, *, th4: int, w2: int, n_t: int):
