@@ -117,6 +117,16 @@ def main():
             }
         )
     )
+    # Release the inference section's live arrays and compiled executables
+    # before timing training. MEASURED (v5e, 2026-08-17): bench_train run
+    # after the inference bench in the same process reads 88.6 img/s, but
+    # 94.9 isolated (same commit, same day) — the live 1024×2048 graph's
+    # buffers/executables cost the train step ~7%. Deploy-path globals are
+    # reset too so the train graph is the shipped default configuration.
+    del pred_loop, variables, im, model
+    set_detail_fuse(False)
+    set_stem_impl("plain")
+    jax.clear_caches()
     bench_train()
 
 
