@@ -70,6 +70,14 @@ def make_seg_train_step(
     OWN moments; gradients are pmean'd (= DDP all-reduce) and the running
     stats are pmean'd across shards for the replicated state. Default
     (False) keeps global-batch moments (SyncBN — usually better on TPU).
+
+    RNG note (measured negative result, v5e + CPU bisect 2026-08-17):
+    converting the step key to the hardware-backed 'rbg' PRNG to speed up
+    the SegmentHead dropout draws (~4.7 ms/step of threefry in the
+    profile) DOUBLES trace+compile time of the full train step (CPU
+    bisect: trace 110s→200s, compile 16s→26s) — rbg keys stay out; the
+    dropout cost is attacked at the source instead with uint8 draws
+    (models/layers.py FastDropout).
     """
     criteria = OhemCELoss(ohem_thresh)
     means = [jnp.asarray(m, jnp.float32) for m in means]

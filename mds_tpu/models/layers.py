@@ -158,11 +158,11 @@ def conv_init() -> Callable:
 # kernel at every BiSeNetV2 deploy shape — e.g. (256,512,16,m6,s2):
 # XLA 0.73 ms vs shift-add 1.30 ms. The alternative kernels are kept for
 # backends where grouped conv lowers badly; select with set_depthwise_impl.
-_DEPTHWISE_IMPL = "xla"  # "xla" | "shift" | "pallas"
+_DEPTHWISE_IMPL = "xla"  # "xla" (hybrid vjp) | "xla_ad" | "shift" | "pallas"
 
 
 def set_depthwise_impl(impl: str) -> None:
-    assert impl in ("xla", "shift", "pallas"), impl
+    assert impl in ("xla", "xla_ad", "shift", "pallas"), impl
     global _DEPTHWISE_IMPL
     _DEPTHWISE_IMPL = impl
 
@@ -273,13 +273,23 @@ class DepthwiseConv3x3(nn.Module):
 
             w = kernel_from_hwio(kernel.astype(self.dtype), c_in)
             return depthwise_conv3x3(x.astype(self.dtype), w, self.stride)
-        # no preferred_element_type here: with bf16 operands its f32 output
-        # makes the conv VJP see mixed dtypes and fail under jax.grad
-        return jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            (self.stride, self.stride), [(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c_in,
+        if _DEPTHWISE_IMPL == "xla_ad":
+            # pure-autodiff escape hatch; no preferred_element_type here:
+            # with bf16 operands its f32 output makes the conv VJP see
+            # mixed dtypes and fail under jax.grad
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                (self.stride, self.stride), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=c_in,
+            )
+        # "xla": XLA grouped conv forward/input-grad + 9-tap weight-grad —
+        # identical forward lowering, ~2× faster backward (measured v5e,
+        # see ops/depthwise.py depthwise_conv3x3_hybrid)
+        from mds_tpu.ops.depthwise import depthwise_conv3x3_hybrid
+
+        return depthwise_conv3x3_hybrid(
+            x.astype(self.dtype), kernel.astype(self.dtype), self.stride
         )
 
 
@@ -550,6 +560,32 @@ def avg_pool_3x3_s2(x: jax.Array) -> jax.Array:
     )
 
 
+class FastDropout(nn.Module):
+    """Dropout whose keep-mask comes from uint8 random draws.
+
+    jax.random.bernoulli materializes a float per element (a full 32-bit
+    threefry word each); the SegmentHead's mid=1024 dropout at H/8×W/8
+    needs ~134M draws per bs16 512×1024 step and the threefry fusions
+    showed up as ~4.7 ms/step on v5e. 8-bit draws need 4× fewer threefry
+    blocks; the keep probability is quantized to 1/256, which is
+    immaterial for dropout regularization. (The rbg-key alternative was
+    measured and rejected — see engine/train_step.py RNG note.)"""
+
+    rate: float = 0.1
+    rng_collection: str = "dropout"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool) -> jax.Array:
+        if deterministic or self.rate == 0.0:
+            return x
+        drop = int(round(self.rate * 256))
+        bits = jax.random.bits(
+            self.make_rng(self.rng_collection), x.shape, jnp.uint8
+        )
+        scale = jnp.asarray(256.0 / (256.0 - drop), x.dtype)
+        return jnp.where(bits >= jnp.uint8(drop), x * scale, jnp.zeros((), x.dtype))
+
+
 class SegmentHead(nn.Module):
     """Per-dataset segmentation head (reference: lib/models/bisenetv2.py:493-539).
 
@@ -573,7 +609,7 @@ class SegmentHead(nn.Module):
         (x,) = ConvBNReLU(self.mid_chan, 3, dtype=self.dtype, name="conv")(
             [x], train=train
         )
-        x = nn.Dropout(0.1, deterministic=not train)(x)
+        x = FastDropout(0.1)(x, deterministic=not train)
         if self.aux:
             mid2 = self.up_factor * self.up_factor
             x = upsample(x, 2, "nearest")

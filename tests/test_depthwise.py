@@ -71,3 +71,76 @@ def test_depthwise_conv_grad_bf16():
     g = jax.grad(loss)(v["params"])
     leaf = jax.tree_util.tree_leaves(g)[0]
     assert np.isfinite(np.asarray(leaf, np.float32)).all()
+
+
+# ---------------------------------------------------------------------------
+# Hybrid-VJP grouped conv (ops/depthwise.py depthwise_conv3x3_hybrid):
+# forward is the same XLA lowering; gradients must match pure autodiff.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+@pytest.mark.parametrize("mult", [1, 6])
+def test_hybrid_vjp_matches_autodiff(stride, mult):
+    from mds_tpu.ops.depthwise import depthwise_conv3x3_hybrid
+
+    rng = np.random.default_rng(2)
+    B, H, W, C = 2, 13, 17, 8
+    x = jnp.asarray(rng.normal(0, 1, (B, H, W, C)), jnp.float32)
+    hwio = jnp.asarray(rng.normal(0, 0.3, (3, 3, 1, C * mult)), jnp.float32)
+
+    def ad_loss(x_, w_):
+        return jnp.sum(jnp.sin(xla_grouped(x_, w_, stride, C)))
+
+    def hy_loss(x_, w_):
+        return jnp.sum(jnp.sin(depthwise_conv3x3_hybrid(x_, w_, stride)))
+
+    fwd_want = np.asarray(xla_grouped(x, hwio, stride, C))
+    fwd_got = np.asarray(depthwise_conv3x3_hybrid(x, hwio, stride))
+    np.testing.assert_allclose(fwd_got, fwd_want, atol=1e-4)
+
+    gx_ad, gw_ad = jax.grad(ad_loss, argnums=(0, 1))(x, hwio)
+    gx_hy, gw_hy = jax.grad(hy_loss, argnums=(0, 1))(x, hwio)
+    np.testing.assert_allclose(np.asarray(gx_hy), np.asarray(gx_ad), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_hy), np.asarray(gw_ad), atol=1e-4)
+
+
+def test_hybrid_vjp_bf16_finite():
+    from mds_tpu.ops.depthwise import depthwise_conv3x3_hybrid
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (1, 10, 12, 4)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(0, 0.3, (3, 3, 1, 24)), jnp.bfloat16)
+    gx, gw = jax.grad(
+        lambda a, b: jnp.sum(
+            depthwise_conv3x3_hybrid(a, b, 2).astype(jnp.float32)
+        ),
+        argnums=(0, 1),
+    )(x, w)
+    assert gx.dtype == jnp.bfloat16 and gw.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(gx, np.float32)).all()
+    assert np.isfinite(np.asarray(gw, np.float32)).all()
+
+
+def test_fast_dropout():
+    from mds_tpu.models.layers import FastDropout
+
+    m = FastDropout(0.25)
+    x = jnp.ones((64, 64, 16), jnp.float32)
+    # deterministic: identity, no rng needed
+    y = m.apply({}, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+    # training: zeros at ~rate, survivors scaled by 1/keep (quantized /256)
+    y = m.apply({}, x, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(0)})
+    y = np.asarray(y)
+    drop_frac = (y == 0).mean()
+    assert abs(drop_frac - 0.25) < 0.01, drop_frac
+    kept = y[y != 0]
+    np.testing.assert_allclose(kept, 256.0 / 192.0, rtol=1e-6)
+    # E[y] preserved
+    assert abs(y.mean() - 1.0) < 0.02
+    # rate 0: passthrough even in train mode
+    z = FastDropout(0.0).apply({}, x, deterministic=False,
+                               rngs={"dropout": jax.random.PRNGKey(1)})
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(x))

@@ -49,15 +49,17 @@ def dw_xla(x, w_hwio, stride):
 
 
 def time_fn(f, *args, iters=30):
-    """Chained on-device loop; returns ms/iter."""
+    """Chained on-device loop; returns ms/iter. The first argument is
+    perturbed by the carry each iteration so XLA cannot hoist the op out
+    of the loop as loop-invariant."""
     @jax.jit
     def loop(seed, *a):
         def body(i, carry):
-            outs = f(*a)
+            outs = f(a[0] + carry.astype(a[0].dtype), *a[1:])
             s = 0.0
             for o in jax.tree_util.tree_leaves(outs):
                 s = s + o.astype(jnp.float32).sum()
-            return carry + (s % 2.0)
+            return (s % 2.0)
 
         return jax.lax.fori_loop(0, iters, body, seed)
 
