@@ -549,8 +549,12 @@ def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
     reduce-window STANDALONE (0.27 ms saved at (1,512,1024,16)) but cost
     ~17 FPS end-to-end in the deploy graph (121→104) — the six strided
     slices block XLA from fusing the pool with its producers and force
-    extra layout copies. reduce-window stays."""
-    return nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+    extra layout copies. reduce-window stays as the FORWARD; the backward
+    (XLA SelectAndScatter, ~2.2 ms/step in the bs16 train graph) is
+    replaced by the mask/dilate custom VJP in ops/maxpool.py."""
+    from mds_tpu.ops.maxpool import max_pool_3x3_s2_fast
+
+    return max_pool_3x3_s2_fast(x)
 
 
 def avg_pool_3x3_s2(x: jax.Array) -> jax.Array:

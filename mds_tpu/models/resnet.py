@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mds_tpu.models.layers import conv_init
+from mds_tpu.models.layers import conv_init, max_pool_3x3_s2
 
 Dtype = Any
 
@@ -59,7 +59,7 @@ class Resnet18(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, param_dtype=jnp.float32, name="bn1")(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        x = max_pool_3x3_s2(x)
         for i in range(2):
             x = BasicBlock(64, 1, self.dtype, name=f"layer1_{i}")(x, train=train)
         feat8 = x

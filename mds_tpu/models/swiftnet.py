@@ -30,7 +30,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mds_tpu.models.layers import MultiX, conv_init, lmap, lmap2
+from mds_tpu.models.layers import (
+    MultiX,
+    conv_init,
+    lmap,
+    lmap2,
+    max_pool_3x3_s2,
+)
 
 Dtype = Any
 
@@ -341,10 +347,7 @@ class SwiftNetPyramid(nn.Module):
         for idx, p in enumerate(pyramid):
             x = bn1(lmap(conv1, p), slot=idx, train=train)
             x = lmap(nn.relu, x)
-            x = lmap(
-                lambda t: nn.max_pool(t, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2),
-                x,
-            )
+            x = lmap(max_pool_3x3_s2, x)
             feats = []
             for stage in blocks:
                 skip = None

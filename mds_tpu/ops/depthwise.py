@@ -75,6 +75,19 @@ def kernel_from_hwio(hwio: jax.Array, c_in: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+# weight-grad backend for the hybrid VJP: "einsum" = nine fused
+# multiply-reduce sweeps (below); "pallas" = single-pass VMEM kernel
+# (ops/pallas/depthwise.py depthwise3x3_wgrad_pallas) that reads x and dy
+# once instead of nine times.
+_WGRAD_IMPL = "einsum"
+
+
+def set_dw_wgrad_impl(impl: str) -> None:
+    assert impl in ("einsum", "pallas"), impl
+    global _WGRAD_IMPL
+    _WGRAD_IMPL = impl
+
+
 def _dw_conv_xla(x: jax.Array, w_hwio: jax.Array, stride: int) -> jax.Array:
     return jax.lax.conv_general_dilated(
         x, w_hwio, (stride, stride), [(1, 1), (1, 1)],
@@ -102,6 +115,11 @@ def _dw_hybrid_bwd(stride, res, dy):
     # input-grad: XLA's transposed grouped conv is already fast — reuse it
     _, pullback = jax.vjp(lambda x_: _dw_conv_xla(x_, w_hwio, stride), x)
     dx = pullback(dy)[0]
+    if _WGRAD_IMPL == "pallas":
+        from mds_tpu.ops.pallas.depthwise import depthwise3x3_wgrad_pallas
+
+        gw = depthwise3x3_wgrad_pallas(x, dy, stride)
+        return dx, gw.astype(w_hwio.dtype)
     # weight-grad: gw[ky,kx,c,j] = Σ_{b,h,w} x_tap[...,c] · dy[...,c,j]
     # — nine strided-slice + multiply + full reduce passes that XLA fuses
     # into single memory-bound sweeps (f32 accumulation).

@@ -84,6 +84,139 @@ def _pick(h_out: int, w_bytes_per_row_in: int, w_bytes_per_row_out: int) -> int:
     return th
 
 
+# ---------------------------------------------------------------------------
+# Weight-grad kernel: gw[ky,kx,c,j] = Σ_{b,h,w} x_tap[...,c] · dy[...,c·m+j].
+#
+# The hybrid VJP's nine einsum sweeps (ops/depthwise.py _dw_hybrid_bwd) each
+# re-read the f32-upcast dy from HBM — ~9×(x+dy) of traffic. This kernel
+# reads each x row-tile and dy row-tile ONCE, forms all nine taps in VMEM,
+# and accumulates the (9, m, C) f32 result across the whole grid into a
+# single VMEM-resident output block (constant index map → Pallas keeps it
+# on-chip until the last step). dy arrives pre-transposed to (..., m, C)
+# because Mosaic cannot reshape the lane dim (see module docstring).
+# ---------------------------------------------------------------------------
+
+
+def _wgrad_taps(x, dyt, out_ref, *, th, w_out, cb, tap_of):
+    dyt = dyt.astype(jnp.float32)  # (th, Wo, m, C)
+    parts = []
+    for ky in range(3):
+        for kx in range(3):
+            tap = tap_of(x, ky, kx).astype(jnp.float32)  # (th, Wo, C)
+            parts.append((tap[:, :, None, :] * dyt).sum((0, 1)))  # (m, C)
+    acc = jnp.stack(parts)  # (9, m, C)
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        out_ref[...] = acc
+
+    @pl.when(jnp.logical_not(first))
+    def _accum():
+        out_ref[...] += acc
+
+
+def _wgrad_s1(x_ref, dy_ref, out_ref, *, th, w_out, cb):
+    def tap_of(x, ky, kx):
+        return jax.lax.slice(x, (ky, kx, 0), (ky + th, kx + w_out, cb))
+
+    _wgrad_taps(x_ref[0, 0], dy_ref[0, 0], out_ref,
+                th=th, w_out=w_out, cb=cb, tap_of=tap_of)
+
+
+def _wgrad_s2(p00, p01, p10, p11, dy_ref, out_ref, *, th, w_out, cb):
+    planes = ((p00, p01), (p10, p11))
+
+    def tap_of(_, ky, kx):
+        pr = planes[ky % 2][kx % 2][0, 0]  # (th+1, Wq+1, C)
+        return jax.lax.slice(
+            pr, (ky // 2, kx // 2, 0), (ky // 2 + th, kx // 2 + w_out, cb)
+        )
+
+    _wgrad_taps(None, dy_ref[0, 0], out_ref,
+                th=th, w_out=w_out, cb=cb, tap_of=tap_of)
+
+
+@functools.partial(jax.jit, static_argnames=("stride",))
+def depthwise3x3_wgrad_pallas(
+    x: jax.Array, dy: jax.Array, stride: int = 1
+) -> jax.Array:
+    """Weight-grad of the grouped 3×3 conv (symmetric padding 1).
+
+    x (B,H,W,C); dy (B,Ho,Wo,C·mult) group-major (o = c·mult + j).
+    Returns gw in HWIO layout (3, 3, 1, C·mult), f32.
+    """
+    b, h, w_in, c = x.shape
+    _, h_out, w_out, cm = dy.shape
+    mult = cm // c
+    assert cm == c * mult and h_out == -(-h // stride), (x.shape, dy.shape)
+    itemsize = x.dtype.itemsize
+
+    # (..., c·m+j) → (..., m, C): lane dim stays C (Mosaic-reshapeable)
+    if mult == 1:
+        dyt = dy[:, :, :, None, :]
+    else:
+        dyt = dy.reshape(b, h_out, w_out, c, mult).transpose(0, 1, 2, 4, 3)
+
+    dy_row = w_out * mult * c * itemsize
+    if stride == 1:
+        in_row = (w_in + 2) * c * itemsize
+        th = _pick(h_out, in_row, dy_row)
+        n_t = -(-h_out // th)
+        pad_bot = 1 + (n_t * th - h_out)
+        xp = jnp.pad(x, ((0, 0), (1, pad_bot), (1, 1), (0, 0)))
+        tiles = _row_tiles(xp, th, 2, n_t, 1)  # (B, nT, th+2, W+2, C)
+        x_inputs = (tiles,)
+        kern = functools.partial(_wgrad_s1, th=th, w_out=w_out, cb=c)
+        x_specs = [
+            pl.BlockSpec((1, 1, th + 2, w_in + 2, c),
+                         lambda bi, ti: (bi, ti, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        in_row = (w_out + 1) * c * itemsize * 4
+        th = _pick(h_out, in_row, dy_row)
+        n_t = -(-h_out // th)
+        rows_needed = 2 * (n_t * th + 1)
+        pad_bot = max(rows_needed - (h + 1), 1)
+        cols_needed = 2 * (w_out + 1)
+        pad_right = max(cols_needed - (w_in + 1), 1)
+        xp = jnp.pad(x, ((0, 0), (1, pad_bot), (1, pad_right), (0, 0)))
+        x_inputs = tuple(
+            _row_tiles(
+                xp[:, p::2, q::2, :][:, : n_t * th + 1, : w_out + 1, :],
+                th, 1, n_t, 1,
+            )
+            for p in (0, 1) for q in (0, 1)
+        )
+        kern = functools.partial(_wgrad_s2, th=th, w_out=w_out, cb=c)
+        plane_spec = pl.BlockSpec(
+            (1, 1, th + 1, w_out + 1, c), lambda bi, ti: (bi, ti, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        x_specs = [plane_spec] * 4
+
+    # zero-pad dy rows to the tile grid (zeros contribute nothing to gw)
+    dyt = jnp.pad(dyt, ((0, 0), (0, n_t * th - h_out), (0, 0), (0, 0), (0, 0)))
+    dyt = dyt.reshape(b, n_t, th, w_out, mult, c)
+    dy_spec = pl.BlockSpec(
+        (1, 1, th, w_out, mult, c), lambda bi, ti: (bi, ti, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    out = pl.pallas_call(
+        kern,
+        grid=(b, n_t),
+        in_specs=x_specs + [dy_spec],
+        out_specs=pl.BlockSpec(
+            (9, mult, c), lambda bi, ti: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((9, mult, c), jnp.float32),
+    )(*x_inputs, dyt)
+    # (9, m, C) → (3, 3, 1, C·m), group-major o = c·mult + j
+    return out.transpose(0, 2, 1).reshape(3, 3, 1, c * mult)
+
+
 @functools.partial(jax.jit, static_argnames=("stride",))
 def depthwise3x3_pallas(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
     """x (B,H,W,C); w (3,3,C,mult); symmetric padding 1 (torch padding=1).
