@@ -551,10 +551,22 @@ def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
     slices block XLA from fusing the pool with its producers and force
     extra layout copies. reduce-window stays as the FORWARD; the backward
     (XLA SelectAndScatter, ~2.2 ms/step in the bs16 train graph) is
-    replaced by the mask/dilate custom VJP in ops/maxpool.py."""
-    from mds_tpu.ops.maxpool import max_pool_3x3_s2_fast
+    replaced by the mask/dilate custom VJP in ops/maxpool.py
+    (set_maxpool_impl("xla") restores the plain autodiff path)."""
+    if _MAXPOOL_IMPL == "fast":
+        from mds_tpu.ops.maxpool import max_pool_3x3_s2_fast
 
-    return max_pool_3x3_s2_fast(x)
+        return max_pool_3x3_s2_fast(x)
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+
+_MAXPOOL_IMPL = "fast"  # "fast" (mask/pad VJP) | "xla" (SelectAndScatter bwd)
+
+
+def set_maxpool_impl(impl: str) -> None:
+    assert impl in ("fast", "xla"), impl
+    global _MAXPOOL_IMPL
+    _MAXPOOL_IMPL = impl
 
 
 def avg_pool_3x3_s2(x: jax.Array) -> jax.Array:
