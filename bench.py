@@ -133,7 +133,7 @@ def main():
 R2_TRAIN_IMGS_PER_SEC = 97.8  # r2 measured value (PARITY.md) — regression pin
 
 
-def bench_train():
+def bench_train(fused_up_loss: bool = False, quiet: bool = False):
     """bs16 512×1024 bf16 train-step throughput, chained on device."""
     import numpy as np
 
@@ -154,6 +154,7 @@ def bench_train():
         [np.asarray([0.2112, 0.2148, 0.2115], np.float32)],
         compute_dtype=jnp.bfloat16,
         donate=False,  # the timing loop reuses the input state
+        fused_up_loss=fused_up_loss,
     )
     rng = np.random.default_rng(0)
     im = jnp.asarray(rng.integers(0, 256, (B, H, W, 3)), jnp.uint8)
@@ -181,6 +182,8 @@ def bench_train():
         fetch(train_loop(state, im, lb))
         runs.append(n_iters * B / (time.perf_counter() - t0))
     ips = sorted(runs)[1]
+    if quiet:
+        return ips
     print(
         json.dumps(
             {

@@ -58,6 +58,7 @@ def make_seg_train_step(
     donate: bool = True,
     mesh=None,
     local_bn: bool = False,
+    fused_up_loss: bool = False,
 ) -> Callable:
     """Build the jitted multi-dataset train step for head-based models
     (BiSeNetV1/V2). Returns step_fn(state, ims, lbs, rng) -> (state, metrics).
@@ -78,6 +79,13 @@ def make_seg_train_step(
     bisect: trace 110s→200s, compile 16s→26s) — rbg keys stay out; the
     dropout cost is attacked at the source instead with uint8 draws
     (models/layers.py FastDropout).
+
+    fused_up_loss=True calls the model with up=False and evaluates the OHEM
+    CE through the phase-decomposed upsample (OhemCELoss.upsampled): the
+    five full-res (B,H,W,19) head volumes — the largest tensors in the
+    graph — never materialize. Requires a model whose __call__ takes `up`
+    and reports 'up_factors' (BiSeNetV2 family). Loss is value-identical
+    (the resize is decomposed exactly; tests/test_losses.py).
     """
     criteria = OhemCELoss(ohem_thresh)
     means = [jnp.asarray(m, jnp.float32) for m in means]
@@ -85,24 +93,35 @@ def make_seg_train_step(
 
     def loss_fn(params, batch_stats, ims, lbs, rng):
         xs = normalize_images(ims, means, stds, dtype=compute_dtype)
+        kwargs = {"up": False} if fused_up_loss else {}
         out, mut = model.apply(
             {"params": params, "batch_stats": batch_stats},
             xs,
             train=True,
             mutable=["batch_stats"],
             rngs={"dropout": rng},
+            **kwargs,
         )
+        if fused_up_loss:
+            main_f, aux_fs = out["up_factors"]
         total = 0.0
         metrics = {}
         for i, (logits, lb) in enumerate(zip(out["logits"], lbs)):
             if logits is None:
                 continue
             lb = lb.astype(jnp.int32)
-            l_main = criteria(logits, lb)
-            l_aux = 0.0
-            for aux_set in out.get("aux", []):
-                if aux_set[i] is not None:
-                    l_aux = l_aux + criteria(aux_set[i], lb)
+            if fused_up_loss:
+                l_main = criteria.upsampled(logits, lb, main_f)
+                l_aux = 0.0
+                for af, aux_set in zip(aux_fs, out.get("aux", [])):
+                    if aux_set[i] is not None:
+                        l_aux = l_aux + criteria.upsampled(aux_set[i], lb, af)
+            else:
+                l_main = criteria(logits, lb)
+                l_aux = 0.0
+                for aux_set in out.get("aux", []):
+                    if aux_set[i] is not None:
+                        l_aux = l_aux + criteria(aux_set[i], lb)
             total = total + l_main + l_aux
             metrics[f"loss_pre_{i}"] = l_main
         metrics["loss"] = total

@@ -43,6 +43,68 @@ def cross_entropy_per_pixel(
     return jnp.where(valid, ce, 0.0), valid
 
 
+def _phase_taps(f: int):
+    """Bilinear ×f (half-pixel, align_corners=False) per output phase p:
+    out[f·q + p] = (1−frac)·src[q−1+a] + frac·src[q+a], a ∈ {0, 1}.
+    Returns [(a, frac)] — static Python floats, baked into the graph."""
+    taps = []
+    for p in range(f):
+        off = (p + 0.5) / f - 0.5
+        if off < 0:
+            taps.append((0, 1.0 + off))  # taps src[q−1], src[q]
+        else:
+            taps.append((1, off))  # taps src[q], src[q+1]
+    return taps
+
+
+def cross_entropy_upsampled(
+    logits: jax.Array, labels: jax.Array, factor: int, ignore: int = 255
+):
+    """Per-pixel CE of bilinearly ×factor-upsampled logits, phase-major.
+
+    Value-identical (as a pixel multiset) to
+    `cross_entropy_per_pixel(jax.image.resize(logits, ×factor, 'linear'),
+    labels)` — but the full-res class volume NEVER materializes: the resize
+    is decomposed into its f² sub-pixel phases, each an elementwise
+    slice-blend of the head-resolution logits that XLA fuses straight into
+    its logsumexp reduction. jax.image.resize lowers to convolutions, which
+    form a fusion barrier; at bs16 512×1024×19 the five BiSeNetV2 head
+    volumes are the largest tensors in the train graph. Edge handling:
+    clamped taps == edge-padding (for the linear kernel, jax.image.resize's
+    boundary renormalization collapses both taps onto the edge texel).
+
+    logits (B, hs, ws, C); labels (B, hs·f, ws·f). Returns (ce, valid) of
+    shape (f², B, hs, ws) — phase-major order; OHEM/mean consumers are
+    order-free.
+    """
+    b, hs, ws, c = logits.shape
+    f = int(factor)
+    assert labels.shape[1] == hs * f and labels.shape[2] == ws * f, (
+        logits.shape, labels.shape, f)
+    taps = _phase_taps(f)
+    xp = jnp.pad(
+        logits.astype(jnp.float32), ((0, 0), (1, 1), (1, 1), (0, 0)),
+        mode="edge",
+    )
+    lab5 = labels.reshape(b, hs, f, ws, f)
+    ces, vals = [], []
+    for pr in range(f):
+        ar, fr = taps[pr]
+        r0 = jax.lax.slice_in_dim(xp, ar, ar + hs, axis=1)
+        r1 = jax.lax.slice_in_dim(xp, ar + 1, ar + 1 + hs, axis=1)
+        t = (1.0 - fr) * r0 + fr * r1  # (b, hs, ws+2, c) f32
+        for pc in range(f):
+            ac, fc = taps[pc]
+            c0 = jax.lax.slice_in_dim(t, ac, ac + ws, axis=2)
+            c1 = jax.lax.slice_in_dim(t, ac + 1, ac + 1 + ws, axis=2)
+            z = (1.0 - fc) * c0 + fc * c1  # (b, hs, ws, c)
+            ce, valid = cross_entropy_per_pixel(z, lab5[:, :, pr, :, pc],
+                                                ignore)
+            ces.append(ce)
+            vals.append(valid)
+    return jnp.stack(ces), jnp.stack(vals)
+
+
 class OhemCELoss:
     """CE with OHEM keep rule (reference: lib/loss/ohem_ce_loss.py:13-34)."""
 
@@ -55,6 +117,17 @@ class OhemCELoss:
 
     def __call__(self, logits: jax.Array, labels: jax.Array) -> jax.Array:
         ce, valid = cross_entropy_per_pixel(logits, labels, self.ignore_lb)
+        fn = ohem_mean_exact if self.exact else ohem_mean
+        return fn(ce, valid, self.thresh, self.n_min_ratio)
+
+    def upsampled(self, logits: jax.Array, labels: jax.Array,
+                  factor: int) -> jax.Array:
+        """OHEM CE of ×factor-bilinear-upsampled logits without ever
+        materializing the upsampled volume (see cross_entropy_upsampled)."""
+        if factor == 1:
+            return self(logits, labels)
+        ce, valid = cross_entropy_upsampled(logits, labels, factor,
+                                            self.ignore_lb)
         fn = ohem_mean_exact if self.exact else ohem_mean
         return fn(ce, valid, self.thresh, self.n_min_ratio)
 

@@ -308,20 +308,33 @@ class BiSeNetV2(nn.Module):
         feat_head = self.bga(feat_d, feat_s, train=train)
         return feat_head, (feat2, feat3, feat4, feat5_4)
 
-    def __call__(self, xs: MultiX, *, train: bool = True):
+    def __call__(self, xs: MultiX, *, train: bool = True, up: bool = True):
         """Train forward. Returns dict(logits=[per-dataset main logits],
-        aux=[4 per-dataset aux-logit lists]) — (b_i, H, W, n_classes_i)."""
+        aux=[4 per-dataset aux-logit lists]) — (b_i, H, W, n_classes_i).
+
+        up=False leaves every head's logits at head resolution and adds
+        'up_factors' = (main_factor, [aux factors]) so the loss can run the
+        fused phase-decomposed upsample+CE (losses/ohem_ce.py
+        cross_entropy_upsampled) — the full-res class volumes are the
+        largest tensors in the train graph and never need to exist."""
         feat_head, feats_aux = self.backbone(xs, train=train)
         logits = [
-            self.head[i](p, train=train) if p is not None else None
+            self.head[i](p, train=train, up=up) if p is not None else None
             for i, p in enumerate(feat_head)
         ]
         out = {"logits": logits}
+        if not up:
+            out["up_factors"] = (
+                self.head[0].residual_factor,
+                [self.aux2[0].residual_factor, self.aux3[0].residual_factor,
+                 self.aux4[0].residual_factor, self.aux5_4[0].residual_factor]
+                if self.aux else [],
+            )
         if self.aux and train:
             aux_heads = [self.aux2, self.aux3, self.aux4, self.aux5_4]
             out["aux"] = [
                 [
-                    heads[i](p, train=train) if p is not None else None
+                    heads[i](p, train=train, up=up) if p is not None else None
                     for i, p in enumerate(feat)
                 ]
                 for heads, feat in zip(aux_heads, feats_aux)

@@ -344,3 +344,69 @@ def test_cross_datasets_kmeans_loss():
     # update_prototypes is an EMA toward the bank mean
     p2 = update_prototypes(bank3, protos3, 1.0)
     np.testing.assert_allclose(np.asarray(p2), np.asarray(protos3), atol=1e-5)
+
+
+def test_cross_entropy_upsampled_matches_resize_path():
+    """Phase-decomposed upsample+CE == resize-then-CE (same loss multiset,
+    same OHEM value), and the bilinear phases match torch F.interpolate."""
+    from mds_tpu.losses.ohem_ce import (
+        OhemCELoss,
+        cross_entropy_per_pixel,
+        cross_entropy_upsampled,
+    )
+
+    rng = np.random.default_rng(0)
+    B, hs, ws, C, f = 2, 6, 8, 5, 4
+    logits = jnp.asarray(rng.normal(0, 2, (B, hs, ws, C)), jnp.float32)
+    lb = rng.integers(0, C, (B, hs * f, ws * f))
+    lb[0, :3, :5] = 255  # some ignored pixels
+    lb = jnp.asarray(lb, jnp.int32)
+
+    up = jax.image.resize(logits, (B, hs * f, ws * f, C), method="linear")
+    # sanity: jax resize == torch bilinear align_corners=False
+    up_t = F.interpolate(
+        torch.from_numpy(np.asarray(logits)).permute(0, 3, 1, 2),
+        scale_factor=f, mode="bilinear", align_corners=False,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(up), up_t, atol=1e-5)
+
+    ce_ref, valid_ref = cross_entropy_per_pixel(up, lb)
+    ce_ph, valid_ph = cross_entropy_upsampled(logits, lb, f)
+    assert ce_ph.shape == (f * f, B, hs, ws)
+    # same multiset of per-pixel losses (phase-major vs row-major order)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(ce_ph).ravel()),
+        np.sort(np.asarray(ce_ref).ravel()), atol=1e-5)
+    assert int(valid_ph.sum()) == int(valid_ref.sum())
+
+    # identical OHEM losses through both paths (order-free reduction)
+    crit = OhemCELoss(0.7, exact=True)
+    l_ref = float(crit(up, lb))
+    l_ph = float(crit.upsampled(logits, lb, f))
+    np.testing.assert_allclose(l_ph, l_ref, rtol=1e-6)
+
+    # factor 1 passthrough
+    lb1 = jnp.asarray(rng.integers(0, C, (B, hs, ws)), jnp.int32)
+    np.testing.assert_allclose(
+        float(crit.upsampled(logits, lb1, 1)), float(crit(logits, lb1)),
+        rtol=1e-6)
+
+
+def test_cross_entropy_upsampled_grad_matches():
+    """Gradients w.r.t. the head-res logits agree with the resize path."""
+    from mds_tpu.losses.ohem_ce import OhemCELoss
+
+    rng = np.random.default_rng(1)
+    B, hs, ws, C, f = 1, 4, 6, 4, 8
+    logits = jnp.asarray(rng.normal(0, 1, (B, hs, ws, C)), jnp.float32)
+    lb = jnp.asarray(rng.integers(0, C, (B, hs * f, ws * f)), jnp.int32)
+    crit = OhemCELoss(0.7, exact=True)
+
+    def loss_ref(x):
+        up = jax.image.resize(x, (B, hs * f, ws * f, C), method="linear")
+        return crit(up, lb)
+
+    g_ref = jax.grad(loss_ref)(logits)
+    g_ph = jax.grad(lambda x: crit.upsampled(x, lb, f))(logits)
+    np.testing.assert_allclose(np.asarray(g_ph), np.asarray(g_ref),
+                               atol=1e-5)

@@ -153,3 +153,31 @@ def test_local_bn_vs_sync_bn():
     assert max(diffs) > 1e-4, "local-BN stats should differ from SyncBN"
     # loss values differ too (different normalization inside the net)
     assert abs(float(m_sync["loss"]) - float(m_local["loss"])) > 1e-6
+
+
+def test_fused_up_loss_matches_resize_path():
+    """fused_up_loss=True (phase-decomposed upsample+OHEM) computes the same
+    loss and gradient step as the resize-based default, in f32 exactly."""
+    model = BiSeNetV2(n_classes=(5,), n_bn=1)
+    sched = warmup_poly_lr(0.005, 0.9, 100, warmup_iter=5, warmup_ratio=0.1)
+    tx = sgd_param_groups(sched, momentum=0.9, weight_decay=5e-4)
+    sample = [np.zeros((1, HW, HW, 3), np.float32)]
+    state0 = init_train_state(model, tx, sample)
+    mean, std = np.zeros(3, np.float32), np.ones(3, np.float32)
+    mk = lambda fused: make_seg_train_step(
+        model, tx, [mean], [std], compute_dtype=jnp.float32, donate=False,
+        fused_up_loss=fused,
+    )
+    rng = np.random.default_rng(3)
+    im, lb = _fake_batch(rng, 2, 5)
+    key = jax.random.PRNGKey(1)
+
+    s_ref, m_ref = mk(False)(state0, [jnp.asarray(im)], [jnp.asarray(lb)], key)
+    s_fus, m_fus = mk(True)(state0, [jnp.asarray(im)], [jnp.asarray(lb)], key)
+    np.testing.assert_allclose(
+        float(m_fus["loss"]), float(m_ref["loss"]), rtol=2e-5)
+    leaves_r = jax.tree_util.tree_leaves(s_ref.params)
+    leaves_f = jax.tree_util.tree_leaves(s_fus.params)
+    for a, b in zip(leaves_r, leaves_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
