@@ -109,12 +109,16 @@ class Trainer:
         # .py) selects per-device local BN moments via shard_map; our default
         # is True (global-batch SyncBN — free under a sharded batch)
         sync_bn = configer.get("use_sync_bn", default=True)
+        # train.fused_up_loss: phase-decomposed upsample+OHEM (exact; skips
+        # the full-res head volumes — BiSeNetV2-family models only)
+        fused_up = bool(configer.get("train", "fused_up_loss", default=False))
         self.step_fn = make_seg_train_step(
             self.model, self.tx, means, stds,
             ohem_thresh=float(configer.get("loss", "ohem_thresh", default=0.7)),
             compute_dtype=compute_dtype,
             mesh=self.mesh,
             local_bn=not sync_bn,
+            fused_up_loss=fused_up,
         )
         self.ckpt = CheckpointManager(
             f"{work_dir}/ckpt",

@@ -24,21 +24,36 @@ from mds_tpu.models import layers
 from mds_tpu.ops import depthwise as dwm
 
 
-def run(name, *, wgrad="einsum", pool="fast", fused=False):
+def run(name, *, wgrad="einsum", pool="fast", fused=False, stem="plain"):
     dwm.set_dw_wgrad_impl(wgrad)
     layers.set_maxpool_impl(pool)
+    layers.set_stem_impl(stem)
     try:
         ips = bench.bench_train(fused_up_loss=fused, quiet=True)
         print(f"{name:12s}: {ips:7.2f} imgs/s", flush=True)
+    except Exception as e:  # keep the sweep going past one bad config
+        print(f"{name:12s}: FAILED {type(e).__name__}: {e}", flush=True)
     finally:
         dwm.set_dw_wgrad_impl("einsum")
         layers.set_maxpool_impl("fast")
+        layers.set_stem_impl("plain")
         jax.clear_caches()
 
 
 if __name__ == "__main__":
-    run("base")
-    run("xla-pool", pool="xla")
-    run("pal-wgrad", wgrad="pallas")
-    run("fused-loss", fused=True)
-    run("all", wgrad="pallas", fused=True)
+    import sys as _sys
+
+    only = _sys.argv[1:] or None
+    cfgs = {
+        "base": {},
+        "xla-pool": {"pool": "xla"},
+        "pal-wgrad": {"wgrad": "pallas"},
+        "fused-loss": {"fused": True},
+        "planes-stem": {"stem": "planes"},
+        "pallas-stem": {"stem": "pallas"},
+        "all": {"wgrad": "pallas", "fused": True, "stem": "planes"},
+    }
+    for name, kw in cfgs.items():
+        if only and name not in only:
+            continue
+        run(name, **kw)
