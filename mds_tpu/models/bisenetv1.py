@@ -139,12 +139,14 @@ class BiSeNetOutput(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, *, train: bool, up: bool = True):
         x = ConvBNReLU1(self.mid_chan, 3, dtype=self.dtype, name="conv")(
             x, train=train
         )
         x = nn.Conv(self.n_classes, (1, 1), use_bias=True, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv_out")(x)
+        if not up:
+            return x
         b, h, w, c = x.shape
         x = jax.image.resize(
             x.astype(jnp.float32),
@@ -184,15 +186,25 @@ class BiSeNetV1(nn.Module):
         feat_fuse = self.ffm(feat_sp, feat_cp8, train=train)
         return feat_fuse, feat_cp8, feat_cp16
 
-    def __call__(self, xs, *, train: bool = True):
-        """List-form entry matching the multi-dataset API: xs = [x]."""
+    def __call__(self, xs, *, train: bool = True, up: bool = True):
+        """List-form entry matching the multi-dataset API: xs = [x].
+
+        up=False leaves logits at head resolution and reports 'up_factors'
+        for the fused phase-decomposed upsample+OHEM loss (train_step
+        fused_up_loss; see models/bisenetv2.py)."""
         x = xs[0] if isinstance(xs, (list, tuple)) else xs
         feat_fuse, feat_cp8, feat_cp16 = self._forward(x, train=train)
-        out = {"logits": [self.conv_out(feat_fuse, train=train)]}
+        out = {"logits": [self.conv_out(feat_fuse, train=train, up=up)]}
+        if not up:
+            out["up_factors"] = (
+                self.conv_out.up_factor,
+                [self.conv_out16.up_factor, self.conv_out32.up_factor]
+                if self.aux else [],
+            )
         if self.aux and train:
             out["aux"] = [
-                [self.conv_out16(feat_cp8, train=train)],
-                [self.conv_out32(feat_cp16, train=train)],
+                [self.conv_out16(feat_cp8, train=train, up=up)],
+                [self.conv_out32(feat_cp16, train=train, up=up)],
             ]
         return out
 

@@ -181,3 +181,25 @@ def test_fused_up_loss_matches_resize_path():
     for a, b in zip(leaves_r, leaves_f):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_fused_up_loss_bisenetv1():
+    """The fused loss path also drives BiSeNetV1 (different head factors)."""
+    from mds_tpu.models.bisenetv1 import BiSeNetV1
+
+    model = BiSeNetV1(n_classes=(5,))
+    sched = warmup_poly_lr(0.005, 0.9, 100, warmup_iter=5, warmup_ratio=0.1)
+    tx = sgd_param_groups(sched, momentum=0.9, weight_decay=5e-4)
+    state0 = init_train_state(model, tx, [np.zeros((1, HW, HW, 3), np.float32)])
+    mean, std = np.zeros(3, np.float32), np.ones(3, np.float32)
+    mk = lambda fused: make_seg_train_step(
+        model, tx, [mean], [std], compute_dtype=jnp.float32, donate=False,
+        fused_up_loss=fused,
+    )
+    rng = np.random.default_rng(4)
+    im, lb = _fake_batch(rng, 2, 5)
+    key = jax.random.PRNGKey(2)
+    _, m_ref = mk(False)(state0, [jnp.asarray(im)], [jnp.asarray(lb)], key)
+    _, m_fus = mk(True)(state0, [jnp.asarray(im)], [jnp.asarray(lb)], key)
+    np.testing.assert_allclose(
+        float(m_fus["loss"]), float(m_ref["loss"]), rtol=2e-5)
