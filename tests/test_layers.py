@@ -165,3 +165,25 @@ def test_ohem_all_ignore_is_finite():
     labels = jnp.full((1, 4, 4), 255, jnp.int32)
     loss = OhemCELoss(0.7)(logits, labels)
     assert np.isfinite(float(loss))
+
+
+def test_ohem_hist_bisect_branch_close_to_exact():
+    """Mostly-confident predictions force the n_min rule (the lax.cond
+    bisection branch): hist quantile must still track the exact top-k."""
+    rng = np.random.default_rng(9)
+    b, c, h, w = 2, 19, 32, 32
+    labels = rng.integers(0, c, (b, h, w)).astype(np.int64)
+    # logits strongly favor the true class -> CE mostly << -log(0.7)
+    logits = rng.normal(0, 0.05, (b, h, w, c)).astype(np.float32)
+    onehot = np.eye(c, dtype=np.float32)[labels] * 6.0
+    logits += onehot
+    # a few genuinely hard pixels
+    hard = rng.random((b, h, w)) < 0.01
+    logits[hard] = rng.normal(0, 1.0, (int(hard.sum()), c))
+    ce, valid = cross_entropy_per_pixel(jnp.asarray(logits), jnp.asarray(labels))
+    n_above = int(((np.asarray(ce) > 0.3567) & np.asarray(valid)).sum())
+    n_min = int(np.asarray(valid).sum()) // 16
+    assert n_above < n_min, "test must exercise the bisection branch"
+    exact = float(ohem_mean_exact(ce, valid, 0.3567))
+    hist = float(ohem_mean(ce, valid, 0.3567))
+    assert abs(exact - hist) / max(exact, 1e-6) < 0.02, (exact, hist)
