@@ -82,27 +82,44 @@ def cross_entropy_upsampled(
     assert labels.shape[1] == hs * f and labels.shape[2] == ws * f, (
         logits.shape, labels.shape, f)
     taps = _phase_taps(f)
+    fracs = [fr for _, fr in taps]
+    n_lo = sum(1 for a, _ in taps if a == 0)  # phases using taps (q−1, q)
     xp = jnp.pad(
         logits.astype(jnp.float32), ((0, 0), (1, 1), (1, 1), (0, 0)),
         mode="edge",
     )
     lab5 = labels.reshape(b, hs, f, ws, f)
+    # Phases sharing a tap offset differ only in their scalar blend weight,
+    # so all of them vectorize over one broadcast axis: the f² phases
+    # collapse into ≤4 (row-group × col-group) blocks — O(1) trace size and
+    # four big reduce fusions instead of f² small ones.
+    groups = [(0, 0, n_lo), (1, n_lo, f)]
     ces, vals = [], []
-    for pr in range(f):
-        ar, fr = taps[pr]
-        r0 = jax.lax.slice_in_dim(xp, ar, ar + hs, axis=1)
-        r1 = jax.lax.slice_in_dim(xp, ar + 1, ar + 1 + hs, axis=1)
-        t = (1.0 - fr) * r0 + fr * r1  # (b, hs, ws+2, c) f32
-        for pc in range(f):
-            ac, fc = taps[pc]
-            c0 = jax.lax.slice_in_dim(t, ac, ac + ws, axis=2)
-            c1 = jax.lax.slice_in_dim(t, ac + 1, ac + 1 + ws, axis=2)
-            z = (1.0 - fc) * c0 + fc * c1  # (b, hs, ws, c)
-            ce, valid = cross_entropy_per_pixel(z, lab5[:, :, pr, :, pc],
-                                                ignore)
-            ces.append(ce)
-            vals.append(valid)
-    return jnp.stack(ces), jnp.stack(vals)
+    for ra, r_lo, r_hi in groups:
+        if r_lo == r_hi:
+            continue
+        npr = r_hi - r_lo
+        frs = jnp.asarray(fracs[r_lo:r_hi], jnp.float32).reshape(
+            npr, 1, 1, 1, 1)
+        r0 = jax.lax.slice_in_dim(xp, ra, ra + hs, axis=1)[None]
+        r1 = jax.lax.slice_in_dim(xp, ra + 1, ra + 1 + hs, axis=1)[None]
+        t = (1.0 - frs) * r0 + frs * r1  # (npr, b, hs, ws+2, c)
+        for ca, c_lo, c_hi in groups:
+            if c_lo == c_hi:
+                continue
+            npc = c_hi - c_lo
+            fcs = jnp.asarray(fracs[c_lo:c_hi], jnp.float32).reshape(
+                1, npc, 1, 1, 1, 1)
+            c0 = jax.lax.slice_in_dim(t, ca, ca + ws, axis=3)[:, None]
+            c1 = jax.lax.slice_in_dim(t, ca + 1, ca + 1 + ws, axis=3)[:, None]
+            z = (1.0 - fcs) * c0 + fcs * c1  # (npr, npc, b, hs, ws, c)
+            lb_blk = jnp.transpose(
+                lab5[:, :, r_lo:r_hi, :, c_lo:c_hi], (2, 4, 0, 1, 3)
+            )  # (npr, npc, b, hs, ws)
+            ce, valid = cross_entropy_per_pixel(z, lb_blk, ignore)
+            ces.append(ce.reshape(npr * npc, b, hs, ws))
+            vals.append(valid.reshape(npr * npc, b, hs, ws))
+    return jnp.concatenate(ces), jnp.concatenate(vals)
 
 
 class OhemCELoss:
