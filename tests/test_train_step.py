@@ -203,3 +203,29 @@ def test_fused_up_loss_bisenetv1():
     _, m_fus = mk(True)(state0, [jnp.asarray(im)], [jnp.asarray(lb)], key)
     np.testing.assert_allclose(
         float(m_fus["loss"]), float(m_ref["loss"]), rtol=2e-5)
+
+
+def test_fused_up_loss_multidataset():
+    """fused_up_loss with n_bn=2 per-dataset lists matches the resize path."""
+    model = BiSeNetV2(n_classes=(5, 7), n_bn=2)
+    sched = warmup_poly_lr(0.005, 0.9, 100, warmup_iter=5, warmup_ratio=0.1)
+    tx = sgd_param_groups(sched, momentum=0.9, weight_decay=5e-4)
+    sample = [np.zeros((1, HW, HW, 3), np.float32)] * 2
+    state0 = init_train_state(model, tx, sample)
+    mean, std = np.zeros(3, np.float32), np.ones(3, np.float32)
+    mk = lambda fused: make_seg_train_step(
+        model, tx, [mean] * 2, [std] * 2, compute_dtype=jnp.float32,
+        donate=False, fused_up_loss=fused,
+    )
+    rng = np.random.default_rng(5)
+    im0, lb0 = _fake_batch(rng, 2, 5)
+    im1, lb1 = _fake_batch(rng, 1, 7)
+    ims = [jnp.asarray(im0), jnp.asarray(im1)]
+    lbs = [jnp.asarray(lb0), jnp.asarray(lb1)]
+    key = jax.random.PRNGKey(3)
+    _, m_ref = mk(False)(state0, ims, lbs, key)
+    _, m_fus = mk(True)(state0, ims, lbs, key)
+    np.testing.assert_allclose(
+        float(m_fus["loss"]), float(m_ref["loss"]), rtol=2e-5)
+    np.testing.assert_allclose(
+        float(m_fus["loss_pre_1"]), float(m_ref["loss_pre_1"]), rtol=2e-5)
