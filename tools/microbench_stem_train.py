@@ -52,8 +52,6 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     args = ap.parse_args()
 
-    import functools
-
     from mds_tpu.ops.pallas.stem import stem_conv3x3_s2
     from mds_tpu.ops.space_to_depth import conv3x3_s2_via_planes
 
