@@ -2,9 +2,11 @@
 
 Reference: lib/base_dataset.py:57-113 `BaseDataset` — reads an annotation file
 with one `im_path,lb_path` pair per line, decodes image (RGB) and label,
-applies the id→trainId LUT, then the train transform. Here decode is PIL (the
-environment has no cv2) and normalization is deferred to the device; samples
-are `dict(im=uint8 HxWx3, lb=uint8 HxW)`.
+applies the id→trainId LUT, then the train transform. Decode uses the native
+library (cpp/mdspre.cpp libjpeg/libpng — the DALI/nvJPEG decode role,
+lib/get_dataloader.py:557-560) when built, PIL otherwise (no cv2 in the
+environment); normalization is deferred to the device; samples are
+`dict(im=uint8 HxWx3, lb=uint8 HxW)`.
 """
 
 from __future__ import annotations
@@ -14,8 +16,46 @@ from typing import Optional
 
 import numpy as np
 
+from mds_tpu.data import native as _native
 from mds_tpu.data.labels import DatasetSpec, get_spec
 from mds_tpu.registry import DATASETS
+
+_NATIVE_DECODE = True
+
+
+def set_native_decode(enabled: bool) -> None:
+    """Toggle native (libjpeg/libpng) decode; PIL is used when off."""
+    global _NATIVE_DECODE
+    _NATIVE_DECODE = bool(enabled)
+
+
+def _decode_native(path: str, channels: int) -> Optional[np.ndarray]:
+    """Decode via cpp/mdspre.cpp when safe; None → caller uses PIL.
+
+    Label decodes (channels=1) keep PIL semantics for palette / RGB /
+    16-bit PNGs: libpng's palette→rgb→gray chain would silently remap the
+    id values PIL reads verbatim (palette indices / raw 16-bit ids)."""
+    if not (_NATIVE_DECODE and _native.available()):
+        return None
+    low = path.lower()
+    is_jpg = low.endswith((".jpg", ".jpeg"))
+    is_png = low.endswith(".png")
+    if not (is_jpg or is_png):
+        return None
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError:
+        return None
+    if is_jpg:
+        return _native.decode_jpeg(data) if channels == 3 else None
+    # PNG IHDR: byte 24 = bit depth, byte 25 = color type (0 gray, 2 rgb,
+    # 3 palette, 4 gray+alpha, 6 rgba)
+    if len(data) <= 25:
+        return None
+    if channels == 1 and (data[24] == 16 or data[25] not in (0, 4)):
+        return None
+    return _native.decode_png(data, channels=channels)
 
 
 class AnnFileDataset:
@@ -49,17 +89,27 @@ class AnnFileDataset:
         return len(self.img_paths)
 
     def get_image(self, impth: str) -> np.ndarray:
+        out = _decode_native(impth, channels=3)
+        if out is not None:
+            return out
         from PIL import Image
 
         return np.asarray(Image.open(impth).convert("RGB"))
 
     def get_label(self, lbpth: str) -> np.ndarray:
+        out = _decode_native(lbpth, channels=1)
+        if out is not None:
+            return out
         from PIL import Image
 
         return np.asarray(Image.open(lbpth)).astype(np.uint8)
 
     def read(self, idx: int, rng: Optional[np.random.Generator] = None) -> dict:
-        label = self.lb_map[self.get_label(self.lb_paths[idx])]
+        label = self.get_label(self.lb_paths[idx])
+        if not getattr(self.trans_func, "wants_raw_label", False):
+            # transforms that fuse the LUT (NativeTransformationTrain with
+            # set_label_lut) get the raw ids; everyone else the remapped map
+            label = self.lb_map[label]
         img = self.get_image(self.img_paths[idx])
         im_lb = dict(im=img, lb=label)
         if self.trans_func is not None:

@@ -36,10 +36,22 @@ class NativeTransformationTrain:
         self.lb_lut = (
             np.arange(256, dtype=np.uint8) if lb_lut is None else lb_lut
         )
+        # when True the READER skips its numpy id→trainId LUT and this
+        # bundle applies it inside the native pass (free — the fused kernel
+        # already LUTs every output label); saves a full-res fancy-index
+        # per sample (~5 ms at 1024×2048)
+        self.wants_raw_label = lb_lut is not None
         self._fallback = TransformationTrain(scales, cropsize, min_side=min_side)
+
+    def set_label_lut(self, lut: np.ndarray) -> None:
+        """Fuse the dataset's id→trainId LUT into the native pass."""
+        self.lb_lut = np.ascontiguousarray(lut.astype(np.uint8))
+        self.wants_raw_label = True
 
     def __call__(self, im_lb: dict, rng: np.random.Generator) -> dict:
         if not native.available():
+            if self.wants_raw_label:
+                im_lb = dict(im=im_lb["im"], lb=self.lb_lut[im_lb["lb"]])
             return self._fallback(im_lb, rng)
         im, lb = im_lb["im"], im_lb["lb"]
         h, w = im.shape[:2]

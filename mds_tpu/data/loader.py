@@ -119,14 +119,19 @@ class MultiDatasetTrainLoader:
         )
 
     def _produce(self):
-        while not self._stop.is_set():
-            batch = self._assemble()
+        try:
             while not self._stop.is_set():
-                try:
-                    self._q.put(batch, timeout=0.5)
-                    break
-                except queue.Full:
-                    continue
+                batch = self._assemble()
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except RuntimeError:
+            # pool shut down mid-assemble by close() — clean exit
+            if not self._stop.is_set():
+                raise
 
     # -- iteration ------------------------------------------------------------
     def __iter__(self):
@@ -142,6 +147,10 @@ class MultiDatasetTrainLoader:
                 self._q.get_nowait()
         except queue.Empty:
             pass
+        # let the producer finish its in-flight _assemble before the pool
+        # goes away (it re-checks _stop right after), so no submit races a
+        # shut-down executor
+        self._producer.join(timeout=10.0)
         self.pool.shutdown(wait=False)
 
 
@@ -198,10 +207,11 @@ def get_data_loader(configer, mode: str = "train", rank: int = 0, world: int = 1
     scales = configer.get("train", "scales", default=[0.5, 1.0])
     cropsize = configer.get("train", "cropsize", default=[512, 512])
     min_side = configer.get("train", "min_side", default=1080)
-    trans = (
-        TransformationTrain(scales, cropsize, min_side=min_side)
-        if mode == "train"
-        else TransformationVal()
+    # the fused native augment (cpp/mdspre.cpp — the DALI fused-pipeline
+    # role) when built; per-call numpy fallback inside. Opt out with
+    # train.native_pipeline=false.
+    use_native = mode == "train" and bool(
+        configer.get("train", "native_pipeline", default=True)
     )
     for i in range(n):
         dcfg = configer.dataset_cfg(i)
@@ -212,9 +222,23 @@ def get_data_loader(configer, mode: str = "train", rank: int = 0, world: int = 1
             # curriculum stage ann-file suffix selection (get_dataloader.py:93)
             ann = ann.replace(".txt", f"_{stage}.txt")
         kwargs = dict(dcfg.get("reader_kwargs", {}))
+        if mode != "train":
+            trans = TransformationVal()
+        elif use_native:
+            from mds_tpu.data.fast_transforms import NativeTransformationTrain
+
+            trans = NativeTransformationTrain(
+                scales, cropsize, min_side=min_side
+            )
+        else:
+            trans = TransformationTrain(scales, cropsize, min_side=min_side)
         ds = reader_cls(
             dcfg.get("im_root"), ann, trans_func=trans, mode=mode, **kwargs
         )
+        if use_native and hasattr(ds, "lb_map"):
+            # fuse this dataset's id→trainId LUT into the native pass (the
+            # reader then hands over raw label ids — see AnnFileDataset.read)
+            trans.set_label_lut(ds.lb_map)
         datasets.append(ds)
         batch_sizes.append(int(dcfg.get("ims_per_gpu", 1)) * batch_multiplier)
     if mode == "train":

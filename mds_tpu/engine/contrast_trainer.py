@@ -215,7 +215,9 @@ class ContrastTrainer:
         self.state, self.bank, self.teacher, metrics = self._step(
             self.state, self.bank, self.teacher, ims, lbs, rng, cw
         )
-        return {k: float(v) for k, v in metrics.items()}
+        # device scalars: callers float() at their log interval (see
+        # utils.meters.AvgMeter — no per-step device sync)
+        return dict(metrics)
 
     # ------------------------------------------------------------ persistence
     def _extras(self):

@@ -570,7 +570,7 @@ class AlternatingTrainer:
                 # (train_seg_or_gnn starts as GNN, :588)
                 self.stage = GNN
                 self.alter_iter = 0
-            return {k: float(v) for k, v in metrics.items()}
+            return dict(metrics)  # device scalars (see return below)
         if self.mode == "clip":
             self.stage = SEG
         elif self.mode == "seg":
@@ -608,4 +608,6 @@ class AlternatingTrainer:
                 self.seg_state, self.seg_buffers, ims, lbs
             )
         self.alter_iter += 1
-        return {k: float(v) for k, v in metrics.items()}
+        # device scalars: callers float() at their log interval (see
+        # utils.meters.AvgMeter — no per-step device sync)
+        return dict(metrics)

@@ -280,7 +280,10 @@ class Trainer:
                     self.state, dev_batch["ims"], dev_batch["lbs"], rng
                 )
                 time_meter.update()
-                loss_meters["loss"].update(float(metrics["loss"]))
+                # device scalar — AvgMeter resolves at the log interval (no
+                # per-step sync; keeps dispatch asynchronous through the
+                # tunnel)
+                loss_meters["loss"].update(metrics["loss"])
                 if (it + 1) % log_interval == 0:
                     lr = float(self.schedule(it))
                     print_log_msg(

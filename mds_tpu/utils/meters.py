@@ -28,16 +28,37 @@ class TimeMeter:
 
 
 class AvgMeter:
+    """Buffers raw values — python floats OR jax device scalars — and
+    resolves them lazily at get() in ONE batched fetch.
+
+    Converting `float(metrics['loss'])` after every train step forces a
+    device sync per iteration, stalling jax's async dispatch pipeline (a
+    full round-trip per step on a remote-tunnel backend). Appending the
+    device scalar and stacking at the log interval keeps the hot loop
+    fully asynchronous. Running (global) stats are kept as python floats,
+    so nothing accumulates device buffers across a 960k-iter run."""
+
     def __init__(self):
         self.seq = []
-        self.global_seq = []
+        self._gsum = 0.0
+        self._gcount = 0
 
-    def update(self, val: float) -> None:
+    def update(self, val) -> None:
         self.seq.append(val)
-        self.global_seq.append(val)
+
+    def _resolve(self):
+        vals, self.seq = self.seq, []
+        if not vals or isinstance(vals[0], (float, int)):
+            return [float(v) for v in vals]
+        import jax.numpy as jnp
+        import numpy as np
+
+        return np.asarray(jnp.stack(vals)).tolist()
 
     def get(self):
-        avg = sum(self.seq) / max(len(self.seq), 1)
-        global_avg = sum(self.global_seq) / max(len(self.global_seq), 1)
-        self.seq = []
+        vals = self._resolve()
+        self._gsum += sum(vals)
+        self._gcount += len(vals)
+        avg = sum(vals) / max(len(vals), 1)
+        global_avg = self._gsum / max(self._gcount, 1)
         return avg, global_avg

@@ -144,3 +144,110 @@ def test_native_bundle_matches_numpy_bundle_stats():
     assert agree > 0.97, agree  # nearest-resize edges may differ slightly
     diff = np.abs(a["im"].astype(int) - b["im"].astype(int))
     assert np.median(diff) <= 2
+
+
+def _write_pair(tmpdir, im, lb, palette=False):
+    impth = str(tmpdir / "im.jpg")
+    lbpth = str(tmpdir / "lb.png")
+    Image.fromarray(im).save(impth, quality=95)
+    if palette:
+        p = Image.fromarray(lb, mode="P")
+        p.putpalette([v for i in range(256) for v in (i, 255 - i, i // 2)])
+        p.save(lbpth)
+    else:
+        Image.fromarray(lb).save(lbpth)
+    return impth, lbpth
+
+
+def test_reader_native_decode_parity(tmp_path):
+    """AnnFileDataset decodes via cpp/mdspre.cpp with PIL semantics."""
+    from mds_tpu.data.base import CityScapes, set_native_decode
+
+    rng = np.random.default_rng(8)
+    im = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+    lb = rng.integers(0, 34, (48, 64)).astype(np.uint8)
+    impth, lbpth = _write_pair(tmp_path, im, lb)
+    ann = tmp_path / "ann.txt"
+    ann.write_text("im.jpg,lb.png")
+    ds = CityScapes(str(tmp_path), str(ann), trans_func=None, mode="train")
+    set_native_decode(True)
+    a = ds.read(0)
+    set_native_decode(False)
+    b = ds.read(0)
+    set_native_decode(True)
+    np.testing.assert_array_equal(a["lb"], b["lb"])  # PNG labels exact
+    assert np.abs(a["im"].astype(int) - b["im"].astype(int)).max() <= 1  # JPEG IDCT
+
+
+def test_reader_palette_label_falls_back_to_pil(tmp_path):
+    """Palette-PNG labels keep PIL's palette-index semantics (no rgb→gray)."""
+    from mds_tpu.data.base import CityScapes, set_native_decode
+
+    rng = np.random.default_rng(9)
+    im = rng.integers(0, 256, (32, 40, 3)).astype(np.uint8)
+    lb = rng.integers(0, 30, (32, 40)).astype(np.uint8)
+    impth, lbpth = _write_pair(tmp_path, im, lb, palette=True)
+    ann = tmp_path / "ann.txt"
+    ann.write_text("im.jpg,lb.png")
+    ds = CityScapes(str(tmp_path), str(ann), trans_func=None, mode="train")
+    set_native_decode(True)
+    got = ds.get_label(lbpth)
+    np.testing.assert_array_equal(got, lb)  # palette INDICES, not gray values
+
+
+def test_fused_label_lut_matches_reader_lut(tmp_path):
+    """set_label_lut + raw-label reader == reader-side numpy LUT."""
+    from mds_tpu.data.base import CityScapes
+    from mds_tpu.data.fast_transforms import NativeTransformationTrain
+
+    rng = np.random.default_rng(10)
+    im = rng.integers(0, 256, (64, 80, 3)).astype(np.uint8)
+    lb = rng.integers(0, 34, (64, 80)).astype(np.uint8)
+    _write_pair(tmp_path, im, lb)
+    ann = tmp_path / "ann.txt"
+    ann.write_text("im.jpg,lb.png")
+
+    fused = NativeTransformationTrain([0.5, 1.5], (48, 48), min_side=None)
+    plain = NativeTransformationTrain([0.5, 1.5], (48, 48), min_side=None)
+    ds_fused = CityScapes(str(tmp_path), str(ann), trans_func=fused)
+    fused.set_label_lut(ds_fused.lb_map)
+    assert fused.wants_raw_label and not plain.wants_raw_label
+    ds_plain = CityScapes(str(tmp_path), str(ann), trans_func=plain)
+    a = ds_fused.read(0, np.random.default_rng(3))
+    b = ds_plain.read(0, np.random.default_rng(3))
+    np.testing.assert_array_equal(a["lb"], b["lb"])
+    np.testing.assert_array_equal(a["im"], b["im"])
+
+
+def test_loader_factory_uses_native_pipeline(tmp_path):
+    """get_data_loader wires NativeTransformationTrain + fused per-dataset LUT."""
+    from mds_tpu.config import Configer
+    from mds_tpu.data.fast_transforms import NativeTransformationTrain
+    from mds_tpu.data.loader import get_data_loader
+
+    rng = np.random.default_rng(11)
+    im = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+    lb = rng.integers(0, 34, (40, 56)).astype(np.uint8)
+    _write_pair(tmp_path, im, lb)
+    ann = tmp_path / "ann.txt"
+    ann.write_text("im.jpg,lb.png")
+    cfg = Configer(configs={
+        "n_datasets": 1,
+        "train": {"scales": [0.75, 1.0], "cropsize": [32, 32],
+                  "min_side": None, "num_workers": 2},
+        "dataset1": {"n_cats": 19, "data_reader": "CityScapes",
+                     "im_root": str(tmp_path), "train_im_anns": str(ann),
+                     "ims_per_gpu": 2},
+    })
+    loader = get_data_loader(cfg, "train")
+    try:
+        ds = loader.datasets[0]
+        assert isinstance(ds.trans_func, NativeTransformationTrain)
+        assert ds.trans_func.wants_raw_label
+        np.testing.assert_array_equal(ds.trans_func.lb_lut, ds.lb_map)
+        batch = next(loader)
+        assert batch.ims[0].shape == (2, 32, 32, 3)
+        valid = batch.lbs[0][batch.lbs[0] != 255]
+        assert valid.size == 0 or valid.max() < 19
+    finally:
+        loader.close()

@@ -70,7 +70,7 @@ def main():
                     logger.info(
                         f"iter {it + 1}/{trainer.max_iter} "
                         f"loss={lm.get()[0]:.4f} "
-                        f"contrast={metrics['contrast_loss']:.4f} "
+                        f"contrast={float(metrics['contrast_loss']):.4f} "
                         f"time={t:.2f} eta={eta}"
                     )
                 trainer.maybe_save()
