@@ -158,27 +158,42 @@ class EvalLoader:
     """Sequential rank-sharded eval iteration (reference uses
     DistributedSampler for eval, lib/get_dataloader.py:141). Yields single
     samples (eval images are variable-size; batching happens per-scale in the
-    evaluator)."""
+    evaluator). Decode runs on a background thread (bounded queue) so the
+    host decodes image N+1 while the device evaluates image N."""
 
     def __init__(self, dataset, rank: int = 0, world: int = 1,
-                 batch_size: int = 1):
+                 batch_size: int = 1, prefetch: int = 2):
         self.dataset = dataset
         self.indices = list(range(rank, len(dataset), world))
         self.batch_size = batch_size
+        self.prefetch = max(int(prefetch), 1)
 
     def __len__(self):
         return len(self.indices)
 
     def __iter__(self):
-        rng = np.random.default_rng(0)
-        batch: List[dict] = []
-        for idx in self.indices:
-            batch.append(self.dataset.read(idx, rng))
-            if len(batch) == self.batch_size:
-                yield self._stack(batch)
-                batch = []
-        if batch:
-            yield self._stack(batch)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+
+        def produce():
+            rng = np.random.default_rng(0)
+            batch: List[dict] = []
+            for idx in self.indices:
+                batch.append(self.dataset.read(idx, rng))
+                if len(batch) == self.batch_size:
+                    q.put(self._stack(batch))
+                    batch = []
+            if batch:
+                q.put(self._stack(batch))
+            q.put(None)
+
+        # daemon: an abandoned iterator leaves the producer parked on the
+        # bounded put with at most `prefetch` decoded batches in memory
+        threading.Thread(target=produce, daemon=True).start()
+        while True:
+            b = q.get()
+            if b is None:
+                return
+            yield b
 
     @staticmethod
     def _stack(batch: List[dict]) -> TrainBatch:
