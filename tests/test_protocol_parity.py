@@ -200,3 +200,46 @@ def test_contrast_protocol_matches_reference(ref_evaluate, fixture_frame):
         logits_fn, _jax_loader(im, lb), 19, 0
     )
     assert abs(got - want) < 5e-4, (got, want)
+
+
+def test_crop_protocol_matches_reference(ref_evaluate, fixture_frame):
+    """MscEvalCrop (the ssc/mscf BASELINE columns): pad-to-crop, 2/3-stride
+    sliding windows, flip with the reference's exp(prob+prob) quirk
+    (evaluate.py:683-688), multi-scale resize-back accumulation — identical
+    weights + inputs ⇒ identical mIoU (atol 5e-4). Ours batches all windows
+    of a scale into ONE jitted call (evaluator.py MscEvalCrop); this pins
+    that rewrite to the reference's per-window loop."""
+    from mds_tpu.deploy.torch_import import bisenetv2_from_torch
+    from mds_tpu.evaluation.evaluator import MscEvalCrop, make_logits_fn
+    from mds_tpu.models.bisenetv2 import BiSeNetV2
+
+    im, lb, spec = fixture_frame
+    ref_bise = load_flat_module("lib/models/bisenetv2.py", "ref_bisenetv2")
+    torch.manual_seed(0)
+    net = ref_bise.BiSeNetV2(19, "eval", 1).eval()
+    sd = randomize_state(net, seed=17)
+
+    class _Net(torch.nn.Module):
+        def __init__(self, inner):
+            super().__init__()
+            self.inner = inner
+
+        def forward(self, x, dataset=0):
+            return (self.inner(x, dataset)[0][dataset],)
+
+    scales = (0.5, 0.75)
+    with torch.no_grad():
+        want = ref_evaluate.MscEvalCrop(
+            cropsize=(128, 128), cropstride=2.0 / 3, flip=True,
+            scales=scales, lb_ignore=255,
+        )(_Net(net), _torch_loader(im, lb, spec.mean, spec.std), 19)
+
+    params, stats = bisenetv2_from_torch(sd, n_bn=1, aux=False)
+    model = BiSeNetV2(n_classes=(19,), n_bn=1, aux=False)
+    logits_fn = make_logits_fn(
+        model, {"params": params, "batch_stats": stats}, spec.mean, spec.std
+    )
+    got = MscEvalCrop(
+        cropsize=(128, 128), cropstride=2.0 / 3, flip=True, scales=scales
+    )(logits_fn, _jax_loader(im, lb), 19, 0)
+    assert abs(got - want) < 5e-4, (got, want)
