@@ -117,6 +117,8 @@ def main():
             }
         )
     )
+    global _HEADLINE_PRINTED
+    _HEADLINE_PRINTED = True
     # Release the inference section's live arrays and compiled executables
     # before timing training. MEASURED (v5e, 2026-08-17): bench_train run
     # after the inference bench in the same process reads 88.6 img/s, but
@@ -127,7 +129,31 @@ def main():
     set_detail_fuse(False)
     set_stem_impl("plain")
     jax.clear_caches()
-    bench_train()
+    try:
+        bench_train()
+    except Exception as e:  # one retry: the tunnel occasionally drops a call
+        print(f"# bench_train failed ({type(e).__name__}: {e}); retrying",
+              file=sys.stderr)
+        jax.clear_caches()
+        bench_train()
+
+
+_HEADLINE_PRINTED = False
+
+
+def _main_with_retry():
+    """One retry for the whole bench: a transient tunnel error must not
+    leave the driver's BENCH record empty. Never reruns after the headline
+    line was printed (no duplicate JSON lines)."""
+    try:
+        main()
+    except Exception as e:
+        if _HEADLINE_PRINTED:
+            raise
+        print(f"# bench failed ({type(e).__name__}: {e}); retrying",
+              file=sys.stderr)
+        jax.clear_caches()
+        main()
 
 
 R2_TRAIN_IMGS_PER_SEC = 97.8  # r2 measured value (PARITY.md) — regression pin
@@ -198,4 +224,4 @@ def bench_train(fused_up_loss: bool = False, quiet: bool = False):
 
 
 if __name__ == "__main__":
-    main()
+    _main_with_retry()
