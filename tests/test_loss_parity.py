@@ -1,0 +1,201 @@
+"""Numeric parity of the flagship GNN-era loss vs the reference's own code.
+
+Imports the reference's REAL CrossDatasetsCELoss_AdvGNN + MdsOhemCELoss +
+OhemCELoss (lib/loss/loss_cross_datasets.py:812-1138, ohem_ce_loss.py),
+feeds identical random inputs to them (torch, NCHW) and to our
+CrossDatasetsCELossAdvGNN (jax, NHWC per-dataset lists), and asserts the
+total losses agree — covering the prototype einsum, per-dataset bipartite
+remaps with the annealed max/softmax mix, ×4 align_corners upsample into
+the global-pool OHEM, aux-prototype OHEM, orth (similarity_dsb) and spa
+terms in one number.
+
+With random logits every per-pixel CE sits far above the OHEM floors
+(−log 0.4 / −log 0.7), so both implementations keep the same (fixed-
+threshold) pixel set and the comparison is exact up to float accumulation.
+"""
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from test_reference_parity import DictConfiger  # noqa: E402
+
+REF = "/root/reference"
+
+
+def _stub(name: str, **attrs):
+    if name in sys.modules:
+        return
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+
+
+@pytest.fixture(scope="module")
+def ref_loss_mod():
+    """Import lib.loss.loss_cross_datasets with only its UNUSED deps stubbed
+    (class_remap/prototype_learning/kmeans/memory-bank are runtime paths the
+    AdvGNN loss never touches); the OHEM/helper loss modules are REAL."""
+    # py3.12 dropped distutils (the reference does
+    # `from distutils.command.config import config` — an unused stray import)
+    _stub("distutils")
+    _stub("distutils.command")
+    _stub("distutils.command.config", config=None)
+    _stub("lib.class_remap", ClassRemap=None, ClassRemapOneHotLabel=None)
+    _stub("lib.prototype_learning", prototype_learning=None,
+          KmeansProtoLearning=None)
+    _stub("lib.module.kmeans", kmeans=None)
+    _stub("lib.module.memory_bank_helper", memory_bank_push=None)
+    _stub("tools")
+    _stub("tools.logger", Logger=object)
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    _stub("lib")  # namespace only; real submodules load from __path__
+    sys.modules["lib"].__path__ = [f"{REF}/lib"]
+    pkg = types.ModuleType("lib.loss")
+    pkg.__path__ = [f"{REF}/lib/loss"]
+    sys.modules.setdefault("lib.loss", pkg)
+    _stub("lib.module")
+    sys.modules["lib.module"].__path__ = [f"{REF}/lib/module"]
+    return importlib.import_module("lib.loss.loss_cross_datasets")
+
+
+def _cfg_dict(with_aux: bool):
+    return {
+        "n_datasets": 2,
+        "dataset1": {"n_cats": 3},
+        "dataset2": {"n_cats": 4},
+        "contrast": {"num_prototype": 1, "temperature": 0.07,
+                     "with_mulbn": False},
+        "loss": {"reweight": False, "ignore_index": 255,
+                 "with_unify_label": True,
+                 "with_spa": True, "spa_loss_weight": 0.1,
+                 "with_max_enc": False, "max_enc_weight": 1.0,
+                 "with_datasets_aux": with_aux, "aux_weight": 0.2,
+                 "adv_loss_weight": 1.0, "adj_loss_weight": 1.0,
+                 "GridSplit": False},
+        "GNN": {"output_softmax_and_max_adj": True, "with_orth": True,
+                "output_max_adj": True, "mse_or_adv": "None",
+                "unify_ratio": 1.0, "orth_weight": 1.0},
+        "lr": {"max_iter": 100},
+        "train": {"gnn_iters": 10, "seg_iters": 20},
+        # cur_iter % (gnn+seg) % gnn = 3 → max_rate 0.3 (ref :1065-1068)
+        "iter": 3,
+    }
+
+
+def _inputs(seed: int, n_cats, D=16, hw=8, up=4, M=None):
+    g = np.random.default_rng(seed)
+    M = M if M is not None else sum(n_cats)
+    feats = [g.normal(size=(1, hw, hw, D)).astype(np.float32) for _ in n_cats]
+    labels = []
+    for c in n_cats:
+        lb = g.integers(0, c, (1, hw * up, hw * up)).astype(np.int64)
+        lb[g.random(lb.shape) < 0.1] = 255
+        labels.append(lb)
+    proto = g.normal(size=(sum(n_cats) + M, D)).astype(np.float32)
+    proto /= np.linalg.norm(proto, axis=1, keepdims=True)
+    graphs = []
+    for c in n_cats:
+        soft = g.random((c, M)).astype(np.float32)
+        soft /= soft.sum(1, keepdims=True)
+        hard = np.zeros((c, M), np.float32)
+        hard[np.arange(c), g.integers(0, M, c)] = 1.0
+        graphs.extend([hard, soft])
+    return feats, labels, proto, graphs
+
+
+def test_advgnn_gnn_stage_loss_matches_reference(ref_loss_mod):
+    """GNN-stage flavor: prototypes + 2n graphs + aux + orth + spa."""
+    import jax.numpy as jnp
+
+    from mds_tpu.config import Configer
+    from mds_tpu.losses.cross_datasets import CrossDatasetsCELossAdvGNN
+
+    n_cats = [3, 4]
+    feats, labels, proto, graphs = _inputs(21, n_cats)
+
+    # ---- reference (torch, NCHW, concatenated batch + dataset_ids) ----
+    ref_crit = ref_loss_mod.CrossDatasetsCELoss_AdvGNN(
+        DictConfiger(_cfg_dict(True))
+    )
+    t_seg = torch.cat(
+        [torch.from_numpy(f.transpose(0, 3, 1, 2)) for f in feats]
+    )
+    t_target = torch.cat([torch.from_numpy(lb) for lb in labels])
+    t_ids = torch.tensor([0, 1])
+    t_preds = {
+        "seg": t_seg,
+        "unify_prototype": torch.from_numpy(proto),
+        "bi_graphs": [torch.from_numpy(gr) for gr in graphs],
+    }
+    with torch.no_grad():
+        want, want_orth, want_aux, _ = ref_crit(
+            t_preds, t_target, t_ids, is_adv=True, init_gnn_stage=False
+        )
+
+    # ---- ours (jax, NHWC per-dataset lists, explicit max_rate) ----
+    crit = CrossDatasetsCELossAdvGNN(Configer(configs=_cfg_dict(True)))
+    preds = {
+        "seg": [jnp.asarray(f) for f in feats],
+        "unify_prototype": jnp.asarray(proto),
+        "bi_graphs": [jnp.asarray(gr) for gr in graphs],
+    }
+    got, metrics = crit(
+        preds, [jnp.asarray(lb) for lb in labels], is_adv=True, max_rate=0.3
+    )
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-4)
+    np.testing.assert_allclose(
+        float(metrics["orth_loss"]), float(want_orth), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        float(metrics["aux_loss"]), float(want_aux), rtol=2e-4
+    )
+
+
+def test_advgnn_seg_stage_loss_matches_reference(ref_loss_mod):
+    """SEG-stage flavor: prototype=None, n UOT graphs, plain remap OHEM."""
+    import jax.numpy as jnp
+
+    from mds_tpu.config import Configer
+    from mds_tpu.losses.cross_datasets import CrossDatasetsCELossAdvGNN
+
+    n_cats = [3, 4]
+    M = sum(n_cats)
+    g = np.random.default_rng(5)
+    # seg-stage 'seg' entries are the model's UNIFIED logits (M channels)
+    logits = [g.normal(size=(1, 8, 8, M)).astype(np.float32) for _ in n_cats]
+    _, labels, _, graphs = _inputs(23, n_cats)
+    uot = [graphs[0], graphs[2]]  # one discrete graph per dataset
+
+    ref_crit = ref_loss_mod.CrossDatasetsCELoss_AdvGNN(
+        DictConfiger(_cfg_dict(False))
+    )
+    t_preds = {
+        "seg": torch.cat(
+            [torch.from_numpy(l.transpose(0, 3, 1, 2)) for l in logits]
+        ),
+        "unify_prototype": None,
+        "bi_graphs": [torch.from_numpy(gr) for gr in uot],
+    }
+    t_target = torch.cat([torch.from_numpy(lb) for lb in labels])
+    with torch.no_grad():
+        want, _, _, _ = ref_crit(
+            t_preds, t_target, torch.tensor([0, 1]),
+            is_adv=False, init_gnn_stage=False,
+        )
+
+    crit = CrossDatasetsCELossAdvGNN(Configer(configs=_cfg_dict(False)))
+    preds = {
+        "seg": [jnp.asarray(l) for l in logits],
+        "unify_prototype": None,
+        "bi_graphs": [jnp.asarray(gr) for gr in uot],
+    }
+    got, _ = crit(preds, [jnp.asarray(lb) for lb in labels], is_adv=False)
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-4)
