@@ -199,3 +199,52 @@ def test_advgnn_seg_stage_loss_matches_reference(ref_loss_mod):
     }
     got, _ = crit(preds, [jnp.asarray(lb) for lb in labels], is_adv=False)
     np.testing.assert_allclose(float(got), float(want), rtol=2e-4)
+
+
+def test_advgnn_init_stage_loss_matches_reference(ref_loss_mod):
+    """Init-phase distillation (ref :1091-1115): adjacency-block MSE×10 to
+    the identity graphs + prototype MSE×10·n to the seg model's prototypes."""
+    import jax.numpy as jnp
+
+    from mds_tpu.config import Configer
+    from mds_tpu.losses.cross_datasets import CrossDatasetsCELossAdvGNN
+    from mds_tpu.ops.uot_match import pretrain_bipartite_graphs
+
+    n_cats = [3, 4]
+    total = sum(n_cats)
+    M = total
+    D = 16
+    g = np.random.default_rng(31)
+    adj_full = g.random((total + M, total + M)).astype(np.float32)
+    proto = g.normal(size=(M, D)).astype(np.float32)
+    seg_proto = g.normal(size=(M, D)).astype(np.float32)
+    pbg = [np.asarray(x, np.float32)
+           for x in pretrain_bipartite_graphs(n_cats, M)]
+
+    ref_crit = ref_loss_mod.CrossDatasetsCELoss_AdvGNN(
+        DictConfiger(_cfg_dict(False))
+    )
+    t_preds = {
+        "seg": torch.from_numpy(seg_proto),
+        "unify_prototype": torch.from_numpy(proto),
+        "bi_graphs": [],
+        "adj": torch.from_numpy(adj_full),
+        "pretrain_bipart_graph": [torch.from_numpy(x) for x in pbg],
+    }
+    with torch.no_grad():
+        want, _, _, _ = ref_crit(
+            t_preds, torch.zeros(1), torch.tensor([0]),
+            is_adv=False, init_gnn_stage=True,
+        )
+
+    crit = CrossDatasetsCELossAdvGNN(Configer(configs=_cfg_dict(False)))
+    preds = {
+        "seg": [None, None],
+        "unify_prototype": jnp.asarray(proto),
+        "bi_graphs": [],
+        "adj_block": jnp.asarray(adj_full[:total, total:]),
+        "pretrain_bipart_graph": [jnp.asarray(x) for x in pbg],
+        "seg_prototype": jnp.asarray(seg_proto),
+    }
+    got, _ = crit(preds, [None, None], is_adv=False, init_gnn_stage=True)
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-4)
