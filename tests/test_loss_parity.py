@@ -248,3 +248,44 @@ def test_advgnn_init_stage_loss_matches_reference(ref_loss_mod):
     }
     got, _ = crit(preds, [None, None], is_adv=False, init_gnn_stage=True)
     np.testing.assert_allclose(float(got), float(want), rtol=2e-4)
+
+
+def test_rmi_loss_matches_reference(monkeypatch):
+    """RMI (region mutual information) numeric parity vs lib/rmi_loss.py
+    forward_sigmoid: masked BCE + Cholesky-log-det lower bound. The
+    reference runs the covariance in float64, ours in f32 with the same
+    1e-3 diagonal loading — agreement to 1e-3 relative."""
+    from test_reference_parity import load_flat_module
+
+    import jax.numpy as jnp
+
+    from mds_tpu.losses.rmi import rmi_loss
+
+    ref = load_flat_module("lib/rmi_loss.py", "ref_rmi_loss")
+    # the reference casts via torch.cuda.DoubleTensor unconditionally
+    # (rmi_loss.py:359-360); no GPU here
+    monkeypatch.setattr(torch.cuda, "DoubleTensor", torch.DoubleTensor,
+                        raising=False)
+    C = 5
+    cfg = DictConfiger({
+        "loss": {"params": {
+            "use_sigmoid": True, "num_classes": C, "rmi_radius": 3,
+            "rmi_pool_way": 1, "rmi_pool_size": 4, "rmi_pool_stride": 4,
+            "loss_weight_lambda": 0.5, "loss_weight": 1.0, "lambda_way": 1,
+        }},
+    })
+    crit = ref.RMILoss(cfg)
+    g = np.random.default_rng(41)
+    logits = g.normal(size=(2, 32, 32, C)).astype(np.float32)
+    labels = g.integers(0, C, (2, 32, 32)).astype(np.int64)
+    labels[g.random(labels.shape) < 0.1] = 255
+
+    with torch.no_grad():
+        want = crit.forward_sigmoid(
+            torch.from_numpy(logits.transpose(0, 3, 1, 2)),
+            torch.from_numpy(labels),
+        )
+    got = rmi_loss(jnp.asarray(logits), jnp.asarray(labels), C,
+                   radius=3, pool_size=4, pool_way=1,
+                   weight_lambda=0.5, lambda_way=True)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-3)
