@@ -31,10 +31,13 @@ def print_bipartite(graphs, class_names=None, unified_names=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
-    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--ckpt", default=None,
+                    help="AlternatingTrainer checkpoint dir (tools/train.py "
+                    "--gnn writes work_dir/ckpt_gnn); without it the graphs "
+                    "come from a fresh init")
+    ap.add_argument("--dataset", type=int, default=None,
+                    help="print only this dataset's graph")
     args = ap.parse_args()
-
-    import jax.numpy as jnp
 
     from mds_tpu.config import Configer
     from mds_tpu.data.labels import get_spec
@@ -42,13 +45,19 @@ def main():
 
     configer = Configer(config_file=args.config)
     t = AlternatingTrainer(configer)
+    if args.ckpt:
+        t.restore(args.ckpt)
     proto, graphs = t.optimal_matching()
     names = []
     for i in range(configer.n_datasets):
         spec = configer.dataset_cfg(i).get("spec")
         names.append(get_spec(spec).class_names if spec
                      else [str(j) for j in range(configer.n_cats(i))])
-    print_bipartite(graphs, names)
+    if args.dataset is not None:
+        print(f"(dataset {args.dataset})")
+        graphs = [graphs[args.dataset]]
+        names = [names[args.dataset]]
+    print_bipartite(list(graphs), names)
 
 
 if __name__ == "__main__":
