@@ -289,3 +289,59 @@ def test_rmi_loss_matches_reference(monkeypatch):
                    radius=3, pool_size=4, pool_way=1,
                    weight_lambda=0.5, lambda_way=True)
     np.testing.assert_allclose(float(got), float(want), rtol=1e-3)
+
+
+def test_advgnn_gnn_stage_grad_matches_reference(ref_loss_mod):
+    """Gradient parity wrt the seg features and the prototypes: pins the
+    OHEM keep-mask semantics (selection is non-differentiable in both —
+    torch indexes, we stop_gradient the threshold) and every einsum/upsample
+    adjoint in the GNN-stage backward."""
+    import jax
+    import jax.numpy as jnp
+
+    from mds_tpu.config import Configer
+    from mds_tpu.losses.cross_datasets import CrossDatasetsCELossAdvGNN
+
+    n_cats = [3, 4]
+    feats, labels, proto, graphs = _inputs(29, n_cats)
+
+    ref_crit = ref_loss_mod.CrossDatasetsCELoss_AdvGNN(
+        DictConfiger(_cfg_dict(True))
+    )
+    t_feats = [
+        torch.from_numpy(f.transpose(0, 3, 1, 2)).requires_grad_(True)
+        for f in feats
+    ]
+    t_proto = torch.from_numpy(proto).requires_grad_(True)
+    t_preds = {
+        "seg": torch.cat(t_feats),
+        "unify_prototype": t_proto,
+        "bi_graphs": [torch.from_numpy(gr) for gr in graphs],
+    }
+    t_target = torch.cat([torch.from_numpy(lb) for lb in labels])
+    want, _, _, _ = ref_crit(
+        t_preds, t_target, torch.tensor([0, 1]), is_adv=True,
+        init_gnn_stage=False,
+    )
+    want.backward()
+    want_gf = [t.grad.numpy().transpose(0, 2, 3, 1) for t in t_feats]
+    want_gp = t_proto.grad.numpy()
+
+    crit = CrossDatasetsCELossAdvGNN(Configer(configs=_cfg_dict(True)))
+    jl = [jnp.asarray(lb) for lb in labels]
+
+    def loss_of(fs, p):
+        preds = {
+            "seg": list(fs),
+            "unify_prototype": p,
+            "bi_graphs": [jnp.asarray(gr) for gr in graphs],
+        }
+        return crit(preds, jl, is_adv=True, max_rate=0.3)[0]
+
+    got_gf, got_gp = jax.grad(loss_of, argnums=(0, 1))(
+        tuple(jnp.asarray(f) for f in feats), jnp.asarray(proto)
+    )
+    for a, b in zip(got_gf, want_gf):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_gp), want_gp, rtol=2e-3,
+                               atol=1e-6)
