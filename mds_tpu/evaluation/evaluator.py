@@ -368,11 +368,22 @@ EVAL_MODES = (
 
 
 def _make_evaluator(configer, mode: str):
+    # configs carry these in the `eval` block (the reference's py-dict
+    # configs keep them top-level — accept both; configs/bisenetv2_city.py:17)
     eval_scales = tuple(
-        configer.get("eval_scales", default=[0.5, 0.75, 1.0, 1.25, 1.5, 1.75])
+        configer.get(
+            "eval", "eval_scales",
+            default=configer.get(
+                "eval_scales", default=[0.5, 0.75, 1.0, 1.25, 1.5, 1.75]
+            ),
+        )
     )
     eval_crop = configer.get(
-        "eval_crop", default=configer.get("train", "cropsize", default=[1024, 1024])
+        "eval", "eval_crop",
+        default=configer.get(
+            "eval_crop",
+            default=configer.get("train", "cropsize", default=[1024, 1024]),
+        ),
     )
     if mode in ("ss", "aux"):
         return MscEvalV0(scales=(1.0,), flip=False)

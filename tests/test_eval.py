@@ -113,3 +113,20 @@ def test_msceval_crop_oracle():
     ev = MscEvalCrop(cropsize=(32, 32), cropstride=2.0 / 3, flip=True, scales=(1.0,))
     miou = ev(_oracle_logits_fn(n), _OracleLoader(n), n, 0)
     assert miou == 1.0
+
+
+def test_make_evaluator_reads_nested_eval_block():
+    """configs carry eval_scales/eval_crop under `eval`; ssc/mscf must use
+    them (not fall back to train.cropsize)."""
+    from mds_tpu.config import Configer
+    from mds_tpu.evaluation.evaluator import _make_evaluator
+
+    cfg = Configer(configs={
+        "train": {"cropsize": [64, 64]},
+        "eval": {"eval_scales": [0.5, 1.0], "eval_crop": [96, 128]},
+    })
+    ev = _make_evaluator(cfg, "mscf")
+    assert ev.cropsize == (96, 128)
+    assert ev.scales == (0.5, 1.0)
+    ev = _make_evaluator(cfg, "msf")
+    assert ev.scales == (0.5, 1.0)
