@@ -95,3 +95,21 @@ def test_model_factory_covers_reference_names():
     have = set(MODELS._registry if hasattr(MODELS, "_registry") else MODELS.keys())
     missing = [n for n in ref_names if n not in have]
     assert not missing, missing
+
+
+def test_eval_crop_recipes_match_reference():
+    """eval_crop per config pinned to the reference py-configs
+    (bisenetv2_city.py:17, bisenetv1_city.py:16, bisenetv2_a2d2.py:17,
+    bisenetv2_cam.py:18, bisenetv1_coco.py:16)."""
+    import json
+
+    want = {
+        "bisenetv2_city.json": [512, 1024],
+        "bisenetv1_city.json": [512, 1024],
+        "bisenetv2_a2d2.json": [512, 1024],
+        "bisenetv2_camvid.json": [512, 1024],
+        "bisenetv1_coco.json": [512, 512],
+    }
+    for name, crop in want.items():
+        d = json.load(open(os.path.join(CFG_DIR, name)))
+        assert d["eval"]["eval_crop"] == crop, name
