@@ -606,3 +606,56 @@ def bisenetv2_to_torch(params: Dict, stats: Dict) -> Dict[str, np.ndarray]:
                     params, f"{ours}/conv_out/kernel").transpose(3, 2, 0, 1)
                 out[f"{theirs}.conv2.bias"] = get(params, f"{ours}/conv_out/bias")
     return out
+
+
+def swin_from_torch(state: Mapping) -> Dict:
+    """Reference SwinTransformer (lib/models/swin_transformer.py:444) state
+    dict → flax params for models.swin.SwinTransformer.
+
+    Layout notes: torch Linear weight (out,in) → flax kernel (in,out);
+    patch-embed conv OIHW → HWIO; PatchMerging norm/reduction import
+    verbatim because our quadrant concat order matches the reference's
+    cat([x0,x1,x2,x3]); per-output norms norm1..3 → out_norm1..3 (norm0
+    guards stage 0, whose output the context path never reads)."""
+    p: Dict = {}
+
+    def lin(ours, theirs, bias=True):
+        _set(p, f"{ours}/kernel", _np(state[f"{theirs}.weight"]).T)
+        if bias:
+            _set(p, f"{ours}/bias", _np(state[f"{theirs}.bias"]))
+
+    def ln(ours, theirs):
+        _set(p, f"{ours}/scale", _np(state[f"{theirs}.weight"]))
+        _set(p, f"{ours}/bias", _np(state[f"{theirs}.bias"]))
+
+    _set(p, "patch_embed/kernel", _conv_w(state["patch_embed.proj.weight"]))
+    _set(p, "patch_embed/bias", _np(state["patch_embed.proj.bias"]))
+    ln("embed_norm", "patch_embed.norm")
+
+    n_layers = 1 + max(
+        int(k.split(".")[1]) for k in state if k.startswith("layers.")
+    )
+    for si in range(n_layers):
+        n_blocks = 1 + max(
+            int(k.split(".")[3])
+            for k in state
+            if k.startswith(f"layers.{si}.blocks.")
+        )
+        for bi in range(n_blocks):
+            t = f"layers.{si}.blocks.{bi}"
+            o = f"stage{si}_block{bi}"
+            ln(f"{o}/norm1", f"{t}.norm1")
+            ln(f"{o}/norm2", f"{t}.norm2")
+            lin(f"{o}/attn/qkv", f"{t}.attn.qkv")
+            lin(f"{o}/attn/proj", f"{t}.attn.proj")
+            _set(p, f"{o}/attn/relative_position_bias_table",
+                 _np(state[f"{t}.attn.relative_position_bias_table"]))
+            lin(f"{o}/fc1", f"{t}.mlp.fc1")
+            lin(f"{o}/fc2", f"{t}.mlp.fc2")
+        if f"layers.{si}.downsample.reduction.weight" in state:
+            ln(f"merge{si}/norm", f"layers.{si}.downsample.norm")
+            lin(f"merge{si}/reduction", f"layers.{si}.downsample.reduction",
+                bias=False)
+        if f"norm{si}.weight" in state and si > 0:
+            ln(f"out_norm{si}", f"norm{si}")
+    return p

@@ -141,7 +141,7 @@ class SwinBlock(nn.Module):
         y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # torch nn.GELU default is exact erf
         y = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(y)
         return x + y
 
@@ -153,8 +153,11 @@ class PatchMerging(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array):
         b, h, w, c = x.shape
+        # quadrant order matches the reference's cat([x0,x1,x2,x3]) =
+        # [(even,even),(odd,even),(even,odd),(odd,odd)]
+        # (swin_transformer.py:279-283) so torch weights import verbatim
         x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        x = x.transpose(0, 1, 3, 4, 2, 5).reshape(b, h // 2, w // 2, 4 * c)
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
         return nn.Dense(2 * c, use_bias=False, dtype=self.dtype,
                         param_dtype=jnp.float32, name="reduction")(x)
@@ -184,7 +187,16 @@ class SwinTransformer(nn.Module):
                 shift = 0 if bi % 2 == 0 else self.window_size // 2
                 x = SwinBlock(dim, heads, self.window_size, shift,
                               dtype=self.dtype, name=f"stage{si}_block{bi}")(x)
-            feats.append(x)
+            if si > 0:
+                # per-output LayerNorm on each emitted stage feature
+                # (reference norm{i} over out_indices,
+                # swin_transformer.py:586-588; stage 0's output is unused)
+                feats.append(
+                    nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+                                 name=f"out_norm{si}")(x)
+                )
+            else:
+                feats.append(x)
             if si < len(self.depths) - 1:
                 x = PatchMerging(dim, self.dtype, name=f"merge{si}")(x)
                 dim *= 2

@@ -412,3 +412,37 @@ def test_totensor_matches_reference():
     got = np.asarray(got)[0].transpose(2, 0, 1)
     np.testing.assert_allclose(got, want, atol=1e-6)
     np.testing.assert_array_equal(out["lb"].numpy().squeeze(), lb)
+
+
+def test_swin_backbone_forward_matches_reference():
+    """SwinTransformer (window attention + shifted masks + PatchMerging +
+    per-output norms) vs the ACTUAL reference swin_transformer.py on
+    identical imported weights (tiny dims, 224-divisible input so the
+    reference's window padding is a no-op)."""
+    ref = import_ref_package_module("lib.models.swin_transformer")
+    import jax.numpy as jnp
+
+    from mds_tpu.deploy.torch_import import swin_from_torch
+    from mds_tpu.models.swin import SwinTransformer
+
+    depths, heads = (2, 1, 1, 1), (1, 2, 4, 8)
+    torch.manual_seed(0)
+    net = ref.SwinTransformer(
+        embed_dim=24, depths=list(depths), num_heads=list(heads),
+        window_size=7, drop_path_rate=0.0, out_indices=(0, 1, 2, 3),
+    ).eval()
+    sd = randomize_state(net, seed=19)
+
+    g = np.random.default_rng(3)
+    im = g.normal(size=(1, 3, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(im))
+
+    model = SwinTransformer(embed_dim=24, depths=depths, num_heads=heads)
+    params = swin_from_torch(sd)
+    got = model.apply({"params": params},
+                      jnp.asarray(im.transpose(0, 2, 3, 1)))
+    assert len(want) == 3 and len(got) == 3
+    for w, g_out in zip(want, got):
+        w = w.numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(g_out), w, atol=5e-4)
