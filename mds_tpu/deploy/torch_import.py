@@ -520,6 +520,12 @@ def detect_torch_layout(sd: Mapping) -> str:
         k.startswith("stage2.0.branches") for k in sd
     ):
         return "hrnet_ref" if "conv1.conv.weight" in sd else "hrnet_imagenet"
+    if "cp.resnet.conv1.weight" in sd:
+        return "bisenetv1"
+    if "patch_embed.proj.weight" in sd and any(
+        k.startswith("layers.0.blocks.") for k in sd
+    ):
+        return "swin"
     if "fc.weight" in sd or (
         "conv1.weight" in sd and "layer1.0.conv1.weight" in sd
         and "detail.S1_1.conv.weight" not in sd
@@ -659,3 +665,60 @@ def swin_from_torch(state: Mapping) -> Dict:
         if f"norm{si}.weight" in state and si > 0:
             ln(f"out_norm{si}", f"norm{si}")
     return p
+
+
+def bisenetv1_from_torch(state: Mapping, aux: bool = True) -> Tuple[Dict, Dict]:
+    """Reference BiSeNetV1 (lib/models/bisenetv1.py:274) state dict → flax
+    (params, batch_stats) for models.bisenetv1.BiSeNetV1. The trunk reuses
+    resnet18_torchvision_to_resnet (the reference Resnet18 is
+    torchvision-layout, lib/models/resnet.py:20-57)."""
+    p: Dict = {}
+    s: Dict = {}
+
+    def cbn(ours: str, theirs: str):  # ConvBNReLU (conv + BN + relu)
+        _set(p, f"{ours}/conv/kernel", _conv_w(state[f"{theirs}.conv.weight"]))
+        _set(p, f"{ours}/bn/scale", _np(state[f"{theirs}.bn.weight"]))
+        _set(p, f"{ours}/bn/bias", _np(state[f"{theirs}.bn.bias"]))
+        _set(s, f"{ours}/bn/mean", _np(state[f"{theirs}.bn.running_mean"]))
+        _set(s, f"{ours}/bn/var", _np(state[f"{theirs}.bn.running_var"]))
+
+    def rawbn(ours: str, theirs: str):
+        _set(p, f"{ours}/scale", _np(state[f"{theirs}.weight"]))
+        _set(p, f"{ours}/bias", _np(state[f"{theirs}.bias"]))
+        _set(s, f"{ours}/mean", _np(state[f"{theirs}.running_mean"]))
+        _set(s, f"{ours}/var", _np(state[f"{theirs}.running_var"]))
+
+    trunk = {
+        k[len("cp.resnet."):]: v
+        for k, v in state.items() if k.startswith("cp.resnet.")
+    }
+    rp, rs = resnet18_torchvision_to_resnet(trunk)
+    p.setdefault("cp", {})["resnet"] = rp
+    s.setdefault("cp", {})["resnet"] = rs
+
+    for ours, theirs in [
+        ("cp/conv_avg", "cp.conv_avg"),
+        ("cp/conv_head32", "cp.conv_head32"),
+        ("cp/conv_head16", "cp.conv_head16"),
+        ("cp/arm16/conv", "cp.arm16.conv"),
+        ("cp/arm32/conv", "cp.arm32.conv"),
+        ("sp/conv1", "sp.conv1"), ("sp/conv2", "sp.conv2"),
+        ("sp/conv3", "sp.conv3"), ("sp/conv_out", "sp.conv_out"),
+        ("ffm/convblk", "ffm.convblk"),
+        ("conv_out/conv", "conv_out.conv"),
+    ] + ([("conv_out16/conv", "conv_out16.conv"),
+          ("conv_out32/conv", "conv_out32.conv")] if aux else []):
+        cbn(ours, theirs)
+
+    for arm in ("arm16", "arm32"):
+        _set(p, f"cp/{arm}/conv_atten/kernel",
+             _conv_w(state[f"cp.{arm}.conv_atten.weight"]))
+        rawbn(f"cp/{arm}/bn_atten", f"cp.{arm}.bn_atten")
+    _set(p, "ffm/conv/kernel", _conv_w(state["ffm.conv.weight"]))
+    rawbn("ffm/bn", "ffm.bn")
+
+    heads = ["conv_out"] + (["conv_out16", "conv_out32"] if aux else [])
+    for h in heads:
+        _set(p, f"{h}/conv_out/kernel", _conv_w(state[f"{h}.conv_out.weight"]))
+        _set(p, f"{h}/conv_out/bias", _np(state[f"{h}.conv_out.bias"]))
+    return p, s

@@ -237,6 +237,26 @@ class Trainer:
                         jnp.asarray, v["batch_stats"]
                     ),
                 )
+            elif layout == "bisenetv1":
+                params, stats = ti.bisenetv1_from_torch(
+                    sd, aux="conv_out16.conv.conv.weight" in sd
+                )
+                self.state = self.state.replace(
+                    params=jax.tree_util.tree_map(jnp.asarray, params),
+                    batch_stats=jax.tree_util.tree_map(jnp.asarray, stats),
+                )
+            elif layout == "swin":
+                # Swin backbone ckpt → graft into the model's swin subtree
+                v = {"params": dict(self.state.params),
+                     "batch_stats": dict(self.state.batch_stats)}
+                tp = ti.swin_from_torch(sd)
+                sub = "swin" if "swin" in v["params"] else None
+                v = ti.merge_subtree(
+                    v, tp, *(("params", sub) if sub else ("params",))
+                )
+                self.state = self.state.replace(
+                    params=jax.tree_util.tree_map(jnp.asarray, v["params"]),
+                )
             else:
                 params, stats = ti.bisenetv2_from_torch(
                     sd, n_bn=self.configer.n_datasets
