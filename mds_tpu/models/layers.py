@@ -549,10 +549,12 @@ def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
     reduce-window STANDALONE (0.27 ms saved at (1,512,1024,16)) but cost
     ~17 FPS end-to-end in the deploy graph (121→104) — the six strided
     slices block XLA from fusing the pool with its producers and force
-    extra layout copies. reduce-window stays as the FORWARD; the backward
-    (XLA SelectAndScatter, ~2.2 ms/step in the bs16 train graph) is
-    replaced by the mask/dilate custom VJP in ops/maxpool.py
-    (set_maxpool_impl("xla") restores the plain autodiff path)."""
+    extra layout copies. reduce-window stays as the FORWARD and XLA's
+    SelectAndScatter as the BACKWARD: the mask/dilate custom VJP in
+    ops/maxpool.py ("fast") measured 62.8 vs 102.1 img/s in the full bs16
+    train step (v5e 2026-08-18 — its nine interior-pad sweeps cost ~8.4 ms
+    each in-graph; the standalone microbench had not reproduced the
+    in-graph layouts). set_maxpool_impl("fast") keeps it selectable."""
     if _MAXPOOL_IMPL == "fast":
         from mds_tpu.ops.maxpool import max_pool_3x3_s2_fast
 
@@ -560,7 +562,7 @@ def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
     return nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
 
-_MAXPOOL_IMPL = "fast"  # "fast" (mask/pad VJP) | "xla" (SelectAndScatter bwd)
+_MAXPOOL_IMPL = "xla"  # "xla" (SelectAndScatter bwd) | "fast" (mask/pad VJP)
 
 
 def set_maxpool_impl(impl: str) -> None:

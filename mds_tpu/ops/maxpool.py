@@ -1,17 +1,26 @@
-"""Max-pool 3×3/s2/p1 with a fast TPU backward.
+"""Max-pool 3×3/s2/p1 with a mask/dilate custom backward (NOT the default).
 
-XLA lowers the max-pool gradient as SelectAndScatter, which runs ~2.2 ms
-at the BiSeNetV2 StemBlock shape (bs16, 256×512×16) on v5e — it cannot be
-tiled like a reduce. This custom VJP keeps the reduce-window FORWARD
-(identical HLO, fuses with producers; see the measured negative result on
-changing the forward in models/layers.py:max_pool_3x3_s2) and rewrites the
-BACKWARD as nine mask/dilate passes:
+XLA lowers the max-pool gradient as SelectAndScatter (~2.2 ms at the
+BiSeNetV2 StemBlock shape, bs16 256×512×16, on v5e). This custom VJP keeps
+the reduce-window FORWARD (identical HLO, fuses with producers; see the
+measured negative result on changing the forward in
+models/layers.py:max_pool_3x3_s2) and rewrites the BACKWARD as nine
+mask/dilate passes:
 
   dx = Σ_{ky,kx} interior_pad( dy · 1[tap_{ky,kx} == y ∧ first] , ky, kx)
 
 where "first" reproduces SelectAndScatter's first-maximum-in-window-order
 tie-breaking via a cumulative claimed mask. Each pass is an elementwise
 sweep XLA fuses into one output loop — no scatter.
+
+MEASURED IN-GRAPH NEGATIVE (v5e, 2026-08-18, full bs16 512×1024 train
+step): the nine interior-pad sweeps materialize nine f32 (16,258,514,16)
+buffers whose 16-lane layout starves the VPU — ~8.4 ms EACH in the jitted
+step (~75 ms/step total; 62.8 vs 102.1 img/s). The standalone microbench
+(tools/microbench_maxpool.py) that motivated this kernel did not reproduce
+the in-graph layouts. Default is therefore "xla"
+(models/layers.py:set_maxpool_impl); this path is kept as a documented
+negative result and for shapes/backends where SelectAndScatter degrades.
 
 Reference role: torch MaxPool2d(3, stride=2, padding=1) in the StemBlock
 (lib/models/bisenetv2.py:192-227); cuDNN has a dedicated pooling-backward
