@@ -84,11 +84,42 @@ class DetailBranch(nn.Module):
             xs = s1_1(xs, train=train)
             xs = s1_2(xs, train=train)
             xs = s2_1(xs, train=train)
-        xs = ConvBNReLU(64, 3, name="S2_2", **cfg)(xs, train=train)
-        xs = ConvBNReLU(64, 3, name="S2_3", **cfg)(xs, train=train)
-        xs = ConvBNReLU(128, 3, stride=2, name="S3_1", **cfg)(xs, train=train)
-        xs = ConvBNReLU(128, 3, name="S3_2", **cfg)(xs, train=train)
-        xs = ConvBNReLU(128, 3, name="S3_3", **cfg)(xs, train=train)
+        s2_2 = ConvBNReLU(64, 3, name="S2_2", **cfg)
+        s2_3 = ConvBNReLU(64, 3, name="S2_3", **cfg)
+        s3_1 = ConvBNReLU(128, 3, stride=2, name="S3_1", **cfg)
+        s3_2 = ConvBNReLU(128, 3, name="S3_2", **cfg)
+        s3_3 = ConvBNReLU(128, 3, name="S3_3", **cfg)
+        # deploy path, level 2: the whole remaining branch (S2_2 → S3_3) as
+        # one more Pallas kernel — the /4-res intermediates and all the
+        # Pallas↔XLA-conv layout copies disappear (ops/pallas/stem.py
+        # detail_tail_fused). xs here are the /4-res 64-ch fused outputs.
+        from mds_tpu.models.layers import get_detail_tail
+
+        tail = fuse and get_detail_tail() and all(
+            x is None or (x.shape[1] % 16 == 0 and x.shape[2] % 2 == 0)
+            for x in xs
+        )
+        if tail:
+            from mds_tpu.ops.pallas.stem import detail_tail_fused
+
+            k4, cf4 = s2_2(xs, train=False, emit="folded", emit_c_in=64)
+            k5, cf5 = s2_3(xs, train=False, emit="folded", emit_c_in=64)
+            k6, cf6 = s3_1(xs, train=False, emit="folded", emit_c_in=64)
+            k7, cf7 = s3_2(xs, train=False, emit="folded", emit_c_in=128)
+            k8, cf8 = s3_3(xs, train=False, emit="folded", emit_c_in=128)
+            return [
+                None if x is None else detail_tail_fused(
+                    x, k4, cf4[i][0], cf4[i][1], k5, cf5[i][0], cf5[i][1],
+                    k6, cf6[i][0], cf6[i][1], k7, cf7[i][0], cf7[i][1],
+                    k8, cf8[i][0], cf8[i][1], interpret=interp,
+                )
+                for i, x in enumerate(xs)
+            ]
+        xs = s2_2(xs, train=train)
+        xs = s2_3(xs, train=train)
+        xs = s3_1(xs, train=train)
+        xs = s3_2(xs, train=train)
+        xs = s3_3(xs, train=train)
         return xs
 
 

@@ -244,6 +244,28 @@ def get_detail_fuse() -> bool:
     return _DETAIL_FUSE
 
 
+# Level-2 detail fusion: S2_2…S3_3 as one more Pallas kernel
+# (ops/pallas/stem.py detail_tail_fused). Only consulted when the S1-pair
+# fusion above is active. MEASURED NEGATIVE on v5e 2026-08-18 (1024×2048
+# bf16 deploy graph, 4×-interleaved A/B, median-of-5): 158.3 FPS off vs
+# 156.2 on — the kernel replaces ~0.79 ms of XLA convs + boundary layout
+# copies with a 0.73 ms custom call, but the while-loop schedule loses the
+# overlap XLA found between those convs and the S1-pair kernel's DMAs. The
+# 64-ch convs' N=64 lanes and the ~1.6× row-halo recompute also cap the
+# kernel at ~2.4× its dot-bound. Kept selectable for backends where XLA's
+# small-channel convs degrade.
+_DETAIL_TAIL = False
+
+
+def set_detail_tail(enable: bool = True) -> None:
+    global _DETAIL_TAIL
+    _DETAIL_TAIL = enable
+
+
+def get_detail_tail() -> bool:
+    return _DETAIL_TAIL
+
+
 class DepthwiseConv3x3(nn.Module):
     """Depthwise/grouped 3×3 conv. Default: XLA grouped conv (fastest measured
     on v5e, differentiable). Alternatives via set_depthwise_impl: 'shift' = 9

@@ -829,6 +829,254 @@ def stemblock_fused(x: jax.Array,
     return out.reshape(b, h4, w4, 16)
 
 
+def _tail_kernel(x_ref, w4_ref, b4_ref, w5_ref, b5_ref, w6_ref, b6_ref,
+                 w7_ref, b7_ref, w8_ref, b8_ref, out_ref,
+                 s22, s23, s31, s32, *, t8: int, w4: int, n_t: int):
+    """Fused DetailBranch tail: S2_2 → S2_3 → S3_1(s2) → S3_2 → S3_3
+    (reference lib/models/bisenetv2.py:156-189), every BN folded, every
+    intermediate VMEM-resident. Consumes the /4-res 64-ch output of
+    detail_s1s2_fused from HBM (column-padded tiles) and emits the /8-res
+    128-ch detail feature the BGA consumes.
+
+    One grid step emits t8 rows at /8. Row provenance (global indices):
+      out m ∈ [t8·ti, t8·ti+t8) ← S3_2 rows [t8·ti−1, t8·ti+t8]
+      ← S3_1 rows [t8·ti−2, t8·ti+t8+1] ← S2_3 /4 rows [2t8·ti−5, …+2t8+3]
+      ← S2_2 [2t8·ti−6, …+2t8+4] ← input [2t8·ti−7, …+2t8+5] (2t8+13 rows).
+    Scratch row j ↔ global (first row above) + j per stage. s23 is f32:
+    S3_1's (2,2,1)-strided taps exist only for 32-bit data (Mosaic probe,
+    see _stemblock_kernel docstring); the other scratches are bf16.
+    Stage D/E run in 9-row chunks so the (rows·w4, 128) pair temporaries
+    stay ~1 MB (VMEM is ~16 MB and the persistent scratches use ~9)."""
+    ti = pl.program_id(1)
+    w8w = w4 // 2
+    nd, ne, nf, ng = 2 * t8 + 11, 2 * t8 + 9, t8 + 4, t8 + 2
+
+    def dot(lhs, w):
+        return jax.lax.dot_general(
+            lhs, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # --- stages D/E: 3×3 s1 64→64 convs, dy-pairs on K=128, 9-row chunks.
+    # (A K=192 lhs + (192,192) dx-block rhs variant — one dot per chunk,
+    # 4 MXU passes instead of 6 — was MEASURED SLOWER standalone on v5e,
+    # 2.01 vs 1.41 ms: the 64/128-lane-offset slice-adds it needs cost lane
+    # rotations that outweigh the saved passes. Keep the pair scheme.)
+    def conv64_pairs(read, w_ref, b_ref, n_rows, dst, dst_dtype):
+        # dy-pairs on K=128, 9-row chunks. Two rejected alternatives,
+        # both MEASURED on v5e 2026-08-18 (standalone chained loop,
+        # (1,256,512,64) input): (a) K=192 lhs + (192,192) dx-block rhs —
+        # 4 MXU passes instead of 6 but the 64/128-lane-offset slice-adds
+        # relayout through VMEM: 2.01 vs 1.41 ms; (b) dy-pair × dx-pair
+        # (K=128, N=128) with one 64-lane shifted add — Mosaic spills ~70 MB
+        # of scoped VMEM on the misaligned N-half adds and refuses to
+        # compile at 1024×2048. Plain pairs win.
+        wp = [jnp.concatenate([w_ref[dx], w_ref[3 + dx]], axis=0)
+              for dx in range(3)]
+        chunk = 9
+        for r0 in range(0, n_rows, chunk):
+            rows = min(chunk, n_rows - r0)
+            acc = jnp.broadcast_to(b_ref[0], (rows * w4, 64)).astype(
+                jnp.float32
+            )
+            for dx in range(3):
+                pair = jnp.concatenate(
+                    [read(r0, dx, rows, w4), read(r0 + 1, dx, rows, w4)],
+                    axis=-1,
+                ).reshape(rows * w4, 128)
+                acc = acc + dot(pair, wp[dx])
+                acc = acc + dot(
+                    read(r0 + 2, dx, rows, w4).reshape(rows * w4, 64),
+                    w_ref[6 + dx],
+                )
+            # always round through bf16 (what the unfused chain emits);
+            # f32 dst (s23, strided-load constraint) stores the widened
+            # bf16-rounded value
+            dst[r0 : r0 + rows, 1 : w4 + 1, :] = (
+                jnp.maximum(acc, 0.0)
+                .astype(jnp.bfloat16)
+                .astype(dst_dtype)
+                .reshape(rows, w4, 64)
+            )
+
+    conv64_pairs(
+        lambda r, dx, rows, w: x_ref[0, 0, r : r + rows, dx : dx + w, :],
+        w4_ref, b4_ref, nd, s22, jnp.bfloat16,
+    )
+    s22[:, 0:1, :] = jnp.zeros((nd, 1, 64), jnp.bfloat16)
+    s22[:, w4 + 1 :, :] = jnp.zeros((nd, 1, 64), jnp.bfloat16)
+    # rows computed from the stack's zero padding are relu(bias) garbage —
+    # S2_3's out-of-image padding must be ZERO
+    @pl.when(ti == 0)
+    def _d_top():
+        s22[0:6, :, :] = jnp.zeros((6, w4 + 2, 64), jnp.bfloat16)
+
+    @pl.when(ti == n_t - 1)
+    def _d_bot():
+        s22[nd - 5 :, :, :] = jnp.zeros((5, w4 + 2, 64), jnp.bfloat16)
+
+    # --- stage E: S2_3 (3×3 s1, 64→64) → f32 scratch for strided loads ---
+    conv64_pairs(
+        lambda r, dx, rows, w: s22[r : r + rows, dx : dx + w, :],
+        w5_ref, b5_ref, ne, s23, jnp.float32,
+    )
+    s23[:, 0:1, :] = jnp.zeros((ne, 1, 64), jnp.float32)
+    s23[:, w4 + 1 :, :] = jnp.zeros((ne, 1, 64), jnp.float32)
+
+    @pl.when(ti == 0)
+    def _e_top():
+        s23[0:5, :, :] = jnp.zeros((5, w4 + 2, 64), jnp.float32)
+
+    @pl.when(ti == n_t - 1)
+    def _e_bot():
+        # s23 row jj ↔ global /4 row 2t8·ti−5+jj ⇒ out-of-image starts at
+        # jj = 2t8+5 = ne−4 on the last tile
+        s23[ne - 4 :, :, :] = jnp.zeros((4, w4 + 2, 64), jnp.float32)
+
+    # --- stage F: S3_1 (3×3 s2, 64→128) — (2,2,1)-strided f32 taps,
+    # dx∈{0,1} paired to K=128 (same scheme as _detail_kernel stage C) ---
+    rows3 = lambda dy: slice(dy, dy + 2 * nf - 1, 2)
+    acc = jnp.broadcast_to(b6_ref[0], (nf * w8w, 128)).astype(jnp.float32)
+    for dy in range(3):
+        ta = s23[rows3(dy), 0 : 2 * w8w - 1 : 2, :]
+        tb = s23[rows3(dy), 1 : 2 * w8w : 2, :]
+        lhs = jnp.concatenate([ta, tb], axis=-1).astype(jnp.bfloat16)
+        wp = jnp.concatenate([w6_ref[3 * dy], w6_ref[3 * dy + 1]], axis=0)
+        acc = acc + dot(lhs.reshape(nf * w8w, 128), wp)
+        t2 = s23[rows3(dy), 2 : 2 + 2 * w8w - 1 : 2, :]
+        acc = acc + dot(
+            t2.astype(jnp.bfloat16).reshape(nf * w8w, 64), w6_ref[3 * dy + 2]
+        )
+    s31[:, 1 : w8w + 1, :] = (
+        jnp.maximum(acc, 0.0).reshape(nf, w8w, 128).astype(jnp.bfloat16)
+    )
+    s31[:, 0:1, :] = jnp.zeros((nf, 1, 128), jnp.bfloat16)
+    s31[:, w8w + 1 :, :] = jnp.zeros((nf, 1, 128), jnp.bfloat16)
+
+    @pl.when(ti == 0)
+    def _f_top():
+        s31[0:2, :, :] = jnp.zeros((2, w8w + 2, 128), jnp.bfloat16)
+
+    @pl.when(ti == n_t - 1)
+    def _f_bot():
+        s31[nf - 2 :, :, :] = jnp.zeros((2, w8w + 2, 128), jnp.bfloat16)
+
+    # --- stage G: S3_2 (3×3 s1, 128→128) — K=128 native, 9 plain dots ---
+    acc = jnp.broadcast_to(b7_ref[0], (ng * w8w, 128)).astype(jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            acc = acc + dot(
+                s31[dy : dy + ng, dx : dx + w8w, :].reshape(ng * w8w, 128),
+                w7_ref[3 * dy + dx],
+            )
+    s32[:, 1 : w8w + 1, :] = (
+        jnp.maximum(acc, 0.0).reshape(ng, w8w, 128).astype(jnp.bfloat16)
+    )
+    s32[:, 0:1, :] = jnp.zeros((ng, 1, 128), jnp.bfloat16)
+    s32[:, w8w + 1 :, :] = jnp.zeros((ng, 1, 128), jnp.bfloat16)
+
+    @pl.when(ti == 0)
+    def _g_top():
+        s32[0:1, :, :] = jnp.zeros((1, w8w + 2, 128), jnp.bfloat16)
+
+    @pl.when(ti == n_t - 1)
+    def _g_bot():
+        s32[ng - 1 :, :, :] = jnp.zeros((1, w8w + 2, 128), jnp.bfloat16)
+
+    # --- stage H: S3_3 (3×3 s1, 128→128) → output tile ---
+    acc = jnp.broadcast_to(b8_ref[0], (t8 * w8w, 128)).astype(jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            acc = acc + dot(
+                s32[dy : dy + t8, dx : dx + w8w, :].reshape(t8 * w8w, 128),
+                w8_ref[3 * dy + dx],
+            )
+    out_ref[0, 0] = (
+        jnp.maximum(acc, 0.0).reshape(t8, w8w, 128).astype(jnp.bfloat16)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("t8", "interpret"))
+def detail_tail_fused(y: jax.Array,
+                      k4: jax.Array, scale4: jax.Array, bias4: jax.Array,
+                      k5: jax.Array, scale5: jax.Array, bias5: jax.Array,
+                      k6: jax.Array, scale6: jax.Array, bias6: jax.Array,
+                      k7: jax.Array, scale7: jax.Array, bias7: jax.Array,
+                      k8: jax.Array, scale8: jax.Array, bias8: jax.Array,
+                      t8: int = 8, interpret: bool = False) -> jax.Array:
+    """DetailBranch S2_2+S2_3+S3_1+S3_2+S3_3, deploy-fused (_tail_kernel).
+    y (B,H4,W4,64) bf16 (the detail_s1s2_fused output), H4 % (2·t8) == 0,
+    W4 % 2 == 0; k4/k5 (3,3,64,64), k6 (3,3,64,128) stride-2,
+    k7/k8 (3,3,128,128); scale/bias are folded eval-BN coefficients.
+    → (B,H4/2,W4/2,128) bf16."""
+    b, h4, w4, c = y.shape
+    assert c == 64 and y.dtype == jnp.bfloat16, (y.shape, y.dtype)
+    assert h4 % (2 * t8) == 0 and w4 % 2 == 0, (h4, w4, t8)
+    assert k4.shape == k5.shape == (3, 3, 64, 64)
+    assert k6.shape == (3, 3, 64, 128)
+    assert k7.shape == k8.shape == (3, 3, 128, 128)
+    h8, w8 = h4 // 2, w4 // 2
+    n_t = h8 // t8
+    height = 2 * t8 + 13
+    # top pad 7 (see _tail_kernel row provenance); bottom always needs 6
+    yp = jnp.pad(y, ((0, 0), (7, 6), (1, 1), (0, 0)))
+    tiles = jnp.stack(
+        [
+            jax.lax.slice_in_dim(yp, i * 2 * t8, i * 2 * t8 + height, axis=1)
+            for i in range(n_t)
+        ],
+        axis=1,
+    )  # (B, n_t, 2t8+13, w4+2, 64)
+
+    f32 = jnp.float32
+
+    def wm(k, s):
+        return (
+            (k.astype(f32) * s.astype(f32))
+            .reshape(9, k.shape[2], k.shape[3])
+            .astype(jnp.bfloat16)
+        )
+
+    def bm(bias):
+        return bias.astype(f32).reshape(1, -1)
+
+    in_spec = pl.BlockSpec(
+        (1, 1, height, w4 + 2, 64), lambda bi, ti: (bi, ti, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_tail_kernel, t8=t8, w4=w4, n_t=n_t),
+        grid=(b, n_t),
+        in_specs=[in_spec] + [w_spec] * 10,
+        out_specs=pl.BlockSpec(
+            (1, 1, t8, w8, 128), lambda bi, ti: (bi, ti, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_t, t8, w8, 128), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((2 * t8 + 11, w4 + 2, 64), jnp.bfloat16),
+            pltpu.VMEM((2 * t8 + 9, w4 + 2, 64), jnp.float32),
+            pltpu.VMEM((t8 + 4, w8 + 2, 128), jnp.bfloat16),
+            pltpu.VMEM((t8 + 2, w8 + 2, 128), jnp.bfloat16),
+        ],
+        # t8=8 at W=2048 peaks at ~19 MB of scoped VMEM (persistent
+        # scratches ~9 MB + double-buffered input tiles + chunk
+        # temporaries) — above Mosaic's 16 MB default but well under the
+        # physical VMEM; raise the cap rather than shrink the tile (t8=4
+        # costs ~30% redundant halo MACs)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=28 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        tiles, wm(k4, scale4), bm(bias4), wm(k5, scale5), bm(bias5),
+        wm(k6, scale6), bm(bias6), wm(k7, scale7), bm(bias7),
+        wm(k8, scale8), bm(bias8),
+    )
+    return out.reshape(b, h8, w8, 128)
+
+
 def _plain(x, k):
     return jax.lax.conv_general_dilated(
         x, k.astype(x.dtype), (2, 2), [(1, 1), (1, 1)],
