@@ -33,6 +33,29 @@ class ConvBNReLU1(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool):
+        from mds_tpu.models.layers import (
+            _STEM_IMPL,
+            BNFold,
+            _ConvKernelHolder,
+        )
+
+        if (
+            not train and _STEM_IMPL == "pallas" and self.ks == 7
+            and self.stride == 2 and self.padding == 3
+            and self.dtype == jnp.bfloat16 and x.shape[-1] == 3
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        ):
+            # deploy path: the SpatialPath 7×7/s2 RGB stem is as
+            # lane-starved under XLA as the ResNet conv1 (see
+            # models/resnet.py) — same fused Pallas kernel, bn folded
+            from mds_tpu.ops.pallas.stem import stem7_conv_bn_relu_s2
+
+            k = _ConvKernelHolder((7, 7, 3, self.out_chan), name="conv")()
+            s, b = BNFold(self.out_chan, name="bn")()
+            return stem7_conv_bn_relu_s2(
+                x.astype(jnp.bfloat16), k, s, b,
+                interpret=jax.default_backend() != "tpu",
+            )
         x = nn.Conv(self.out_chan, (self.ks, self.ks), strides=self.stride,
                     padding=[(self.padding,) * 2] * 2, use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32,

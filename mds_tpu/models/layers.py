@@ -422,6 +422,36 @@ class Conv3x3S1Fusable(nn.Module):
         return y
 
 
+class BNFold(nn.Module):
+    """Declares nn.BatchNorm's EXACT variable set (params scale/bias,
+    batch_stats mean/var, f32, feature-shaped) and returns the folded
+    eval-mode (scale, bias) affine pair — lets a parent fold a plain
+    nn.BatchNorm into a fused Pallas kernel (e.g. the ResNet 7×7 stem)
+    without changing the param tree or checkpoint layout."""
+
+    feats: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.feats,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.feats,), jnp.float32
+        )
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.feats,), jnp.float32),
+        )
+        var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.feats,), jnp.float32),
+        )
+        s = scale * jax.lax.rsqrt(var.value + self.eps)
+        return s, bias - mean.value * s
+
+
 class _ConvKernelHolder(nn.Module):
     """Declares the same 'kernel' param an nn.Conv named alike would —
     lets a parent read a conv's raw weights for cross-layer fusion without

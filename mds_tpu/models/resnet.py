@@ -53,12 +53,36 @@ class Resnet18(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        x = nn.Conv(64, (7, 7), strides=2, padding=[(3, 3)] * 2, use_bias=False,
-                    dtype=self.dtype, param_dtype=jnp.float32,
-                    kernel_init=conv_init(), name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         dtype=self.dtype, param_dtype=jnp.float32, name="bn1")(x)
-        x = nn.relu(x)
+        from mds_tpu.models.layers import _STEM_IMPL, BNFold, _ConvKernelHolder
+
+        fuse = (
+            not train and _STEM_IMPL == "pallas"
+            and self.dtype == jnp.bfloat16 and x.shape[-1] == 3
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        )
+        if fuse:
+            # deploy path: the 7×7/s2 RGB stem is XLA's worst op in the V1
+            # graph (C=3 lane starvation: ~2.7 ms conv + ~2.4 ms layout
+            # copies of an 11.45 ms 1024×2048 graph, profiled v5e
+            # 2026-08-18) — run it as the Pallas patch-matmul kernel with
+            # bn1 folded in (ops/pallas/stem.py stem7_conv_bn_relu_s2)
+            from mds_tpu.ops.pallas.stem import stem7_conv_bn_relu_s2
+
+            k = _ConvKernelHolder((7, 7, 3, 64), name="conv1")()
+            s, b = BNFold(64, name="bn1")()
+            x = stem7_conv_bn_relu_s2(
+                x.astype(jnp.bfloat16), k, s, b,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            x = nn.Conv(64, (7, 7), strides=2, padding=[(3, 3)] * 2,
+                        use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32, kernel_init=conv_init(),
+                        name="conv1")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=self.dtype, param_dtype=jnp.float32,
+                             name="bn1")(x)
+            x = nn.relu(x)
         x = max_pool_3x3_s2(x)
         for i in range(2):
             x = BasicBlock(64, 1, self.dtype, name=f"layer1_{i}")(x, train=train)

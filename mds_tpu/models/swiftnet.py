@@ -61,8 +61,10 @@ class SharedListBN(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xs: MultiX, *, slot: int = 0, train: bool) -> List:
+    def __call__(self, xs: MultiX, *, slot: int = 0, train: bool,
+                 fold: bool = False) -> List:
         if self.per_dataset:
+            assert not fold, "fold is only supported for shared stats"
             return self._per_dataset_call(xs, slot=slot, train=train)
         c = self.features
         ra_mean = self.variable(
@@ -82,6 +84,12 @@ class SharedListBN(nn.Module):
                 "bias", nn.initializers.zeros, (self.n_slots, c), jnp.float32
             )
 
+        if fold:
+            # folded eval affine for cross-layer Pallas fusion (the 7×7
+            # stem kernel): y = x·s + b per slot
+            assert not train and self.affine
+            s = scale[slot] * jax.lax.rsqrt(ra_var.value[slot] + self.eps)
+            return s, bias[slot] - ra_mean.value[slot] * s
         live = [x for x in xs if x is not None]
         assert live, "SharedListBN needs at least one input"
         if train:
@@ -295,10 +303,31 @@ class SwiftNetPyramid(nn.Module):
 
     @nn.compact
     def __call__(self, xs: MultiX, *, train: bool):
+        from mds_tpu.models.layers import _STEM_IMPL, _ConvKernelHolder
+
         lvls = self.pyramid_levels
-        conv1 = nn.Conv(64, (7, 7), strides=2, padding=[(3, 3)] * 2, use_bias=False,
-                        dtype=self.dtype, param_dtype=jnp.float32,
-                        kernel_init=conv_init(), name="conv1")
+        # the image pyramid is built below; every level is RGB and the
+        # base dims are even ⇒ the fused-stem guard only needs the base
+        fuse7 = (
+            not train and _STEM_IMPL == "pallas"
+            and self.dtype == jnp.bfloat16 and not self.mulbn
+            and all(
+                x is None
+                or (x.shape[-1] == 3 and x.shape[1] % 2 ** lvls == 0
+                    and x.shape[2] % 2 ** lvls == 0)
+                for x in xs
+            )
+        )
+        if fuse7:
+            # deploy path: the per-level 7×7/s2 RGB stem via the Pallas
+            # patch-matmul kernel with bn1's slot affine folded in (see
+            # models/resnet.py — XLA lane-starves this conv)
+            k7 = _ConvKernelHolder((7, 7, 3, 64), name="conv1")()
+        else:
+            conv1 = nn.Conv(64, (7, 7), strides=2, padding=[(3, 3)] * 2,
+                            use_bias=False, dtype=self.dtype,
+                            param_dtype=jnp.float32, kernel_init=conv_init(),
+                            name="conv1")
         bn1 = SharedListBN(64, lvls, dtype=self.dtype,
                            per_dataset=self.mulbn, n_datasets=self.n_datasets,
                            name="bn1")
@@ -345,8 +374,20 @@ class SwiftNetPyramid(nn.Module):
             pyramid.append(lmap(lambda x: bicubic_downsample(x, 2**l), xs))
 
         for idx, p in enumerate(pyramid):
-            x = bn1(lmap(conv1, p), slot=idx, train=train)
-            x = lmap(nn.relu, x)
+            if fuse7:
+                from mds_tpu.ops.pallas.stem import stem7_conv_bn_relu_s2
+
+                s7, b7 = bn1(p, slot=idx, train=False, fold=True)
+                interp = jax.default_backend() != "tpu"
+                x = [
+                    None if q is None else stem7_conv_bn_relu_s2(
+                        q.astype(jnp.bfloat16), k7, s7, b7, interpret=interp
+                    )
+                    for q in p
+                ]
+            else:
+                x = bn1(lmap(conv1, p), slot=idx, train=train)
+                x = lmap(nn.relu, x)
             x = lmap(max_pool_3x3_s2, x)
             feats = []
             for stage in blocks:

@@ -829,6 +829,113 @@ def stemblock_fused(x: jax.Array,
     return out.reshape(b, h4, w4, 16)
 
 
+def _kernel7(xu0, xu1, xu2, w_ref, out_ref, a_ref, *, th: int, w2: int,
+             o: int, relu: bool):
+    """7×7 stride-2 RGB stem conv (ResNet18 conv1 — reference
+    lib/models/resnet.py:60-66, resnet_pyramid.py:267-300), folded eval-BN
+    (+optional ReLU), bf16 out. Same u32 column-pair bit trick as _kernel,
+    but a DEDICATED tile geometry (pad 3, height 2·th+5, u32 width w2+3):
+    BiSeNetV1/SwiftNet graphs have no 3×3 stem consumer to CSE with, and
+    XLA's own lowering of this conv costs ~2.7 ms + ~2.4 ms of layout
+    copies at 1024×2048 on v5e (45% of the whole V1 deploy graph,
+    profiled 2026-08-18) for a 10 GFLOP op.
+
+    Patch rows are (dy, dx, c) row-major: 147 taps, row 147 = ones (folded
+    bias), padded to 160. Out row y reads tile rows 2y+dy (dy∈0..6); out
+    col x reads padded col 2x+dxi ⇒ ev(x+dxi//2) / od(...) for even/odd
+    dxi."""
+    planes = []
+    for xu in (xu0, xu1, xu2):
+        u = xu[0, 0]
+        ev = pltpu.bitcast(u << 16, jnp.float32)
+        od = pltpu.bitcast(u & jnp.uint32(0xFFFF0000), jnp.float32)
+        planes.append((ev, od))
+    w = w_ref[:]
+    a_ref[148:160, :] = jnp.zeros((12, w2), jnp.float32)
+    a_ref[147:148, :] = jnp.ones((1, w2), jnp.float32)  # folded-BN bias row
+    for y in range(th):
+        k = 0
+        for dy in range(7):
+            r = 2 * y + dy
+            for dxi in range(7):
+                off = dxi // 2
+                for c in range(3):
+                    ev, od = planes[c]
+                    pl_ = ev if dxi % 2 == 0 else od
+                    a_ref[k : k + 1, :] = jax.lax.slice(
+                        pl_, (r, off), (r + 1, off + w2)
+                    )
+                    k += 1
+        out = jax.lax.dot_general(
+            a_ref[:], w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (w2, No)
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        out_ref[0, 0, y] = out[:, :o].astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("th", "relu", "interpret"))
+def stem7_conv_bn_relu_s2(x: jax.Array, k: jax.Array, scale: jax.Array,
+                          bias: jax.Array, th: int = 8, relu: bool = True,
+                          interpret: bool = False) -> jax.Array:
+    """Fused 7×7/s2/p3 RGB conv + folded eval-BN (+ReLU), bf16.
+    x (B,H,W,3) bf16 (H, W even); k (7,7,3,O≤128); → (B,H/2,W/2,O) bf16."""
+    b, h, w, c = x.shape
+    _, _, kc, o = k.shape
+    assert c == 3 and kc == 3 and k.shape[:2] == (7, 7), (x.shape, k.shape)
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    assert x.dtype == jnp.bfloat16, x.dtype
+    h2, w2 = h // 2, w // 2
+    n_t = -(-h2 // th)
+    height = 2 * th + 5
+    rows_need = 2 * th * (n_t - 1) + height
+    pad_bot = rows_need - (h + 3)
+    tiles_c = []
+    for ci in range(3):
+        p = jnp.pad(x[..., ci], ((0, 0), (3, max(pad_bot, 1)), (3, 3)))
+        pu = jax.lax.bitcast_convert_type(
+            p.reshape(b, p.shape[1], w2 + 3, 2), jnp.uint32
+        )  # (B, Hp, w2+3)
+        tiles_c.append(
+            jnp.stack(
+                [
+                    jax.lax.slice_in_dim(
+                        pu, i * 2 * th, i * 2 * th + height, axis=1
+                    )
+                    for i in range(n_t)
+                ],
+                axis=1,
+            )
+        )
+
+    f32 = jnp.float32
+    no = max(32, -(-o // 32) * 32)
+    wm_rows = [k[dy, dxi, ci] for dy in range(7) for dxi in range(7)
+               for ci in range(3)]
+    wm = jnp.stack(wm_rows).astype(f32) * scale.astype(f32)[None, :]
+    wm = jnp.concatenate([wm, bias.astype(f32)[None, :]], axis=0)  # (148, O)
+    wm = jnp.pad(wm, ((0, 160 - wm.shape[0]), (0, no - o)))
+
+    in_spec = pl.BlockSpec(
+        (1, 1, height, w2 + 3), lambda bi, ti: (bi, ti, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel7, th=th, w2=w2, o=o, relu=relu),
+        grid=(b, n_t),
+        in_specs=[in_spec] * 3 + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (1, 1, th, w2, o), lambda bi, ti: (bi, ti, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_t, th, w2, o), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((160, w2), jnp.float32)],
+        interpret=interpret,
+    )(*tiles_c, wm)
+    return out.reshape(b, n_t * th, w2, o)[:, :h2]
+
+
 def _tail_kernel(x_ref, w4_ref, b4_ref, w5_ref, b5_ref, w6_ref, b6_ref,
                  w7_ref, b7_ref, w8_ref, b8_ref, out_ref,
                  s22, s23, s31, s32, *, t8: int, w4: int, n_t: int):

@@ -285,6 +285,118 @@ def test_detail_fuse_branch_matches_unfused(h):
         assert rel < 2e-2, (err.max(), rel)
 
 
+def test_stem7_matches_conv_chain():
+    """Fused 7×7/s2 stem kernel vs XLA conv + folded BN + ReLU — interpret
+    mode on CPU (two row tiles, odd-ish widths)."""
+    from mds_tpu.ops.pallas.stem import stem7_conv_bn_relu_s2
+
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.normal(0, 1, (2, 36, 44, 3)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(0, 0.15, (7, 7, 3, 64)), jnp.float32)
+    s = jnp.asarray(rng.normal(1, 0.1, (64,)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.1, (64,)), jnp.float32)
+
+    conv = jax.lax.conv_general_dilated(
+        x, k.astype(jnp.bfloat16), (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    want = jnp.maximum(conv * s + b, 0).astype(jnp.bfloat16)
+    got = stem7_conv_bn_relu_s2(x, k, s, b, th=4, interpret=True)
+    assert got.shape == want.shape == (2, 18, 22, 64)
+    err = np.abs(np.asarray(got, np.float32) - np.asarray(want, np.float32))
+    rel = err.max() / max(np.abs(np.asarray(want, np.float32)).max(), 1)
+    assert rel < 1e-2, (err.max(), rel)
+
+
+def test_resnet18_stem_fuse_matches_plain():
+    """Resnet18 eval with set_stem_impl('pallas') equals the plain path and
+    leaves the param tree unchanged (BNFold/_ConvKernelHolder layout)."""
+    from mds_tpu.models import layers
+    from mds_tpu.models.resnet import Resnet18
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (1, 64, 48, 3)), jnp.bfloat16)
+    m = Resnet18(dtype=jnp.bfloat16)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    v = jax.tree_util.tree_map(np.asarray, v)
+    v["batch_stats"]["bn1"]["mean"] = rng.normal(0, 0.1, (64,)).astype(
+        np.float32)
+    v["batch_stats"]["bn1"]["var"] = rng.uniform(0.5, 1.5, (64,)).astype(
+        np.float32)
+    want = m.apply(v, x, train=False)
+    layers.set_stem_impl("pallas")
+    try:
+        v2 = m.init(jax.random.PRNGKey(0), x, train=False)
+        # fused init must produce the same tree as the plain init
+        assert jax.tree_util.tree_structure(v2) == \
+            jax.tree_util.tree_structure(v)
+        got = m.apply(v, x, train=False)
+    finally:
+        layers.set_stem_impl("plain")
+    for g, w in zip(got, want):
+        gw = np.asarray(w, np.float32)
+        err = np.abs(np.asarray(g, np.float32) - gw)
+        rel = err.max() / max(np.abs(gw).max(), 1)
+        assert rel < 2e-2, (err.max(), rel)
+
+
+def test_bisenetv1_stem_fuse_matches_plain():
+    """BiSeNetV1 bf16 eval with set_stem_impl('pallas') (both 7×7 RGB stems
+    — ResNet conv1 + SpatialPath conv1 — through the fused kernel) equals
+    the plain path; param tree unchanged."""
+    from mds_tpu.models import layers
+    from mds_tpu.models.bisenetv1 import BiSeNetV1
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(0, 1, (1, 64, 64, 3)), jnp.bfloat16)
+    m = BiSeNetV1(n_classes=(19,), aux=False, dtype=jnp.bfloat16)
+    v = m.init(jax.random.PRNGKey(0), [x], train=False)
+    want = m.apply(v, x, dataset=0, method=m.pred)
+    layers.set_stem_impl("pallas")
+    try:
+        v2 = m.init(jax.random.PRNGKey(0), [x], train=False)
+        assert jax.tree_util.tree_structure(v2) == \
+            jax.tree_util.tree_structure(v)
+        got = m.apply(v, x, dataset=0, method=m.pred)
+    finally:
+        layers.set_stem_impl("plain")
+    # argmax label maps: demand near-exact agreement
+    agree = (np.asarray(got) == np.asarray(want)).mean()
+    assert agree > 0.99, agree
+
+
+def test_swiftnet_stem_fuse_matches_plain():
+    """SwiftNet pyramid bf16 eval with set_stem_impl('pallas') (the
+    per-level 7×7 stem + folded SharedListBN slot affine) equals the plain
+    path; param tree unchanged."""
+    from mds_tpu.models import layers
+    from mds_tpu.models.swiftnet import SwiftNetPyramid
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(0, 1, (1, 64, 64, 3)), jnp.bfloat16)
+    m = SwiftNetPyramid(dtype=jnp.bfloat16)
+    v = m.init(jax.random.PRNGKey(0), [x], train=False)
+    v = jax.tree_util.tree_map(np.asarray, v)
+    v["batch_stats"]["bn1"]["mean"] = rng.normal(
+        0, 0.1, v["batch_stats"]["bn1"]["mean"].shape).astype(np.float32)
+    v["batch_stats"]["bn1"]["var"] = rng.uniform(
+        0.5, 1.5, v["batch_stats"]["bn1"]["var"].shape).astype(np.float32)
+    (want,) = m.apply(v, [x], train=False)
+    layers.set_stem_impl("pallas")
+    try:
+        v2 = m.init(jax.random.PRNGKey(0), [x], train=False)
+        assert jax.tree_util.tree_structure(v2) == \
+            jax.tree_util.tree_structure(v)
+        (got,) = m.apply(v, [x], train=False)
+    finally:
+        layers.set_stem_impl("plain")
+    gw = np.asarray(want, np.float32)
+    err = np.abs(np.asarray(got, np.float32) - gw)
+    rel = err.max() / max(np.abs(gw).max(), 1)
+    assert rel < 2e-2, (err.max(), rel)
+
+
 def test_detail_tail_fused_matches_chain():
     """Fused detail-tail kernel (S2_2→S2_3→S3_1 s2→S3_2→S3_3) vs the XLA
     five-conv chain with folded BNs — interpret mode on CPU. Two row tiles

@@ -25,7 +25,13 @@ T4_FP16_FPS = 68.0  # reference README.md:9
 
 def main():
     from mds_tpu.models.bisenetv1 import BiSeNetV1
+    from mds_tpu.models.layers import set_stem_impl
 
+    # Pallas 7×7 stem kernel with folded bn1 (ops/pallas/stem.py
+    # stem7_conv_bn_relu_s2): XLA's lowering of the C=3 conv1 cost
+    # ~2.7 ms + ~2.4 ms of layout copies of an 11.45 ms graph
+    # (profiled v5e 2026-08-18)
+    set_stem_impl("pallas")
     model = BiSeNetV1(n_classes=(19,), aux=False, dtype=jnp.bfloat16)
     H, W = 1024, 2048
     x0 = jnp.zeros((1, H, W, 3), jnp.float32)
