@@ -829,8 +829,8 @@ def stemblock_fused(x: jax.Array,
     return out.reshape(b, h4, w4, 16)
 
 
-def _kernel7(xu0, xu1, xu2, w_ref, out_ref, a_ref, *, th: int, w2: int,
-             o: int, relu: bool):
+def _kernel7(xe0, xo0, xe1, xo1, xe2, xo2, w_ref, out_ref, a_ref,
+             *, th: int, w2: int, o: int, relu: bool):
     """7×7 stride-2 RGB stem conv (ResNet18 conv1 — reference
     lib/models/resnet.py:60-66, resnet_pyramid.py:267-300), folded eval-BN
     (+optional ReLU), bf16 out. Same u32 column-pair bit trick as _kernel,
@@ -841,38 +841,47 @@ def _kernel7(xu0, xu1, xu2, w_ref, out_ref, a_ref, *, th: int, w2: int,
     profiled 2026-08-18) for a 10 GFLOP op.
 
     Patch rows are (dy, dx, c) row-major: 147 taps, row 147 = ones (folded
-    bias), padded to 160. Out row y reads tile rows 2y+dy (dy∈0..6); out
-    col x reads padded col 2x+dxi ⇒ ev(x+dxi//2) / od(...) for even/odd
-    dxi."""
-    planes = []
-    for xu in (xu0, xu1, xu2):
-        u = xu[0, 0]
-        ev = pltpu.bitcast(u << 16, jnp.float32)
-        od = pltpu.bitcast(u & jnp.uint32(0xFFFF0000), jnp.float32)
-        planes.append((ev, od))
+    bias), padded to 160. Input tiles come ROW-PARITY-SPLIT from XLA
+    (xu{c} = (even, odd) row buffers), so the tap for (dy, dxi, c) is ONE
+    (th, w2) unit-stride slice covering every output row at once — the
+    first version's per-row patch build issued 147·th small slice/stores
+    per tile and was instruction-bound at ~1.3 ms per 1024×2048 conv
+    (~6× its dot-bound). Out row y reads parity dy%2 row y+dy//2; out col
+    x reads padded col 2x+dxi ⇒ ev(x+dxi//2) / od(...) for even/odd dxi."""
+    planes = []  # [c][parity] → (ev, od) column planes
+    for xe, xo in ((xe0, xo0), (xe1, xo1), (xe2, xo2)):
+        pr = []
+        for xu in (xe, xo):
+            u = xu[0, 0]
+            pr.append(
+                (
+                    pltpu.bitcast(u << 16, jnp.float32),
+                    pltpu.bitcast(u & jnp.uint32(0xFFFF0000), jnp.float32),
+                )
+            )
+        planes.append(pr)
     w = w_ref[:]
-    a_ref[148:160, :] = jnp.zeros((12, w2), jnp.float32)
-    a_ref[147:148, :] = jnp.ones((1, w2), jnp.float32)  # folded-BN bias row
-    for y in range(th):
-        k = 0
-        for dy in range(7):
-            r = 2 * y + dy
-            for dxi in range(7):
-                off = dxi // 2
-                for c in range(3):
-                    ev, od = planes[c]
-                    pl_ = ev if dxi % 2 == 0 else od
-                    a_ref[k : k + 1, :] = jax.lax.slice(
-                        pl_, (r, off), (r + 1, off + w2)
-                    )
-                    k += 1
-        out = jax.lax.dot_general(
-            a_ref[:], w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (w2, No)
-        if relu:
-            out = jnp.maximum(out, 0.0)
-        out_ref[0, 0, y] = out[:, :o].astype(jnp.bfloat16)
+    a_ref[147:148] = jnp.ones((1, th, w2), jnp.bfloat16)
+    a_ref[148:160] = jnp.zeros((12, th, w2), jnp.bfloat16)
+    k = 0
+    for dy in range(7):
+        ro = dy // 2
+        for dxi in range(7):
+            off = dxi // 2
+            for c in range(3):
+                ev, od = planes[c][dy % 2]
+                pl_ = ev if dxi % 2 == 0 else od
+                a_ref[k] = jax.lax.slice(
+                    pl_, (ro, off), (ro + th, off + w2)
+                ).astype(jnp.bfloat16)
+                k += 1
+    out = jax.lax.dot_general(
+        a_ref[:], w, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (th, w2, No)
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    out_ref[0, 0] = out[:, :, :o].astype(jnp.bfloat16)
 
 
 @functools.partial(jax.jit, static_argnames=("th", "relu", "interpret"))
@@ -888,26 +897,30 @@ def stem7_conv_bn_relu_s2(x: jax.Array, k: jax.Array, scale: jax.Array,
     assert x.dtype == jnp.bfloat16, x.dtype
     h2, w2 = h // 2, w // 2
     n_t = -(-h2 // th)
-    height = 2 * th + 5
-    rows_need = 2 * th * (n_t - 1) + height
-    pad_bot = rows_need - (h + 3)
-    tiles_c = []
+    # padded rows needed: out row Y reads padded rows 2Y+dy (pad_top 3);
+    # Y_max = th·n_t−1 ⇒ Hp ≥ 2·th·n_t+5. Row-parity split: even buffer
+    # row k ↔ padded row 2k (tile slice [th·ti, th·ti+th+3)), odd row k ↔
+    # 2k+1 (tile slice [th·ti, th·ti+th+2)).
+    pad_bot = max(2 * th * n_t + 5 - (h + 3), 3)
+    tiles = []
     for ci in range(3):
-        p = jnp.pad(x[..., ci], ((0, 0), (3, max(pad_bot, 1)), (3, 3)))
+        p = jnp.pad(x[..., ci], ((0, 0), (3, pad_bot), (3, 3)))
         pu = jax.lax.bitcast_convert_type(
             p.reshape(b, p.shape[1], w2 + 3, 2), jnp.uint32
         )  # (B, Hp, w2+3)
-        tiles_c.append(
-            jnp.stack(
-                [
-                    jax.lax.slice_in_dim(
-                        pu, i * 2 * th, i * 2 * th + height, axis=1
-                    )
-                    for i in range(n_t)
-                ],
-                axis=1,
+        for par, rows in ((0, th + 3), (1, th + 2)):
+            pp = pu[:, par::2]
+            tiles.append(
+                jnp.stack(
+                    [
+                        jax.lax.slice_in_dim(
+                            pp, i * th, i * th + rows, axis=1
+                        )
+                        for i in range(n_t)
+                    ],
+                    axis=1,
+                )
             )
-        )
 
     f32 = jnp.float32
     no = max(32, -(-o // 32) * 32)
@@ -916,23 +929,28 @@ def stem7_conv_bn_relu_s2(x: jax.Array, k: jax.Array, scale: jax.Array,
     wm = jnp.stack(wm_rows).astype(f32) * scale.astype(f32)[None, :]
     wm = jnp.concatenate([wm, bias.astype(f32)[None, :]], axis=0)  # (148, O)
     wm = jnp.pad(wm, ((0, 160 - wm.shape[0]), (0, no - o)))
+    wm = wm.astype(jnp.bfloat16)
 
-    in_spec = pl.BlockSpec(
-        (1, 1, height, w2 + 3), lambda bi, ti: (bi, ti, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, rows, w2 + 3), lambda bi, ti: (bi, ti, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        for _ in range(3)
+        for rows in (th + 3, th + 2)
+    ]
     out = pl.pallas_call(
         functools.partial(_kernel7, th=th, w2=w2, o=o, relu=relu),
         grid=(b, n_t),
-        in_specs=[in_spec] * 3 + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=in_specs + [pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(
             (1, 1, th, w2, o), lambda bi, ti: (bi, ti, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, n_t, th, w2, o), jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM((160, w2), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((160, th, w2), jnp.bfloat16)],
         interpret=interpret,
-    )(*tiles_c, wm)
+    )(*tiles, wm)
     return out.reshape(b, n_t * th, w2, o)[:, :h2]
 
 
