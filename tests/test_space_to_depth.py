@@ -359,11 +359,19 @@ def test_bisenetv1_stem_fuse_matches_plain():
         assert jax.tree_util.tree_structure(v2) == \
             jax.tree_util.tree_structure(v)
         got = m.apply(v, x, dataset=0, method=m.pred)
+        logits_f = m.apply(v, x, dataset=0, method=m.eval_logits)
     finally:
         layers.set_stem_impl("plain")
-    # argmax label maps: demand near-exact agreement
+    logits_p = m.apply(v, x, dataset=0, method=m.eval_logits)
+    # random weights make many argmax near-ties; judge the logits
+    # relatively and the label map loosely
+    lw = np.asarray(logits_p, np.float32)
+    rel = np.abs(np.asarray(logits_f, np.float32) - lw).max() / max(
+        np.abs(lw).max(), 1
+    )
+    assert rel < 2e-2, rel
     agree = (np.asarray(got) == np.asarray(want)).mean()
-    assert agree > 0.99, agree
+    assert agree > 0.97, agree
 
 
 def test_swiftnet_stem_fuse_matches_plain():
