@@ -99,6 +99,14 @@ def _kernel(xu0, xu1, xu2, w_ref, out_ref, a_ref, *, th: int, w2: int, o: int,
 # collapses the prep chains when multiple kernels consume the same image
 # (profiled v5e 2026-08-17: two geometries cost a second full
 # pad+bitcast+stack chain + its HBM copy, ~0.9 ms/iter at 1024×2048).
+#
+# MEASURED NEGATIVE (v5e 2026-08-18): porting _kernel7's row-parity batched
+# patch build to this 3×3 family (parity-split tiles + one (32, rows, w2)
+# rank-3 stage-A dot replacing the per-row loop) made detail_s1s2_fused
+# 1.46 → 1.92 ms and the deploy graph 158 → 148 FPS — at K=32/27 taps the
+# per-row patch build is NOT instruction-bound, and the rank-3 dot's
+# non-8-aligned free dims (10/12/13 rows) relayout through VMEM. The trick
+# only pays at the 7×7 kernel's 147-tap/K=160 scale.
 _TILE_PAD_TOP = 7
 _TILE_EXTRA = 11  # tile height = 2·th + _TILE_EXTRA
 
