@@ -5,16 +5,19 @@ test_fps_with_engine; README.md:10 — BiSeNetV2 59 FPS fp16 on a Tesla T4 at
 1024×2048, bs=1). Ours measures the full exported graph: uint8-scale input →
 normalize → BiSeNetV2 → argmax label map, jitted in bf16 on one TPU chip.
 
-Line 1 (the driver-tracked headline): {"metric", "value", "unit",
-"vs_baseline"} where vs_baseline = FPS / 59 (reference T4 fp16 FPS;
-BASELINE.md).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline = FPS / 59 (reference T4 fp16 FPS; BASELINE.md). Two secondary
+metrics ride along in the same line under "extra_metrics" so they are
+driver-tracked without breaking the one-line contract:
 
-Line 2 (since r3, VERDICT r2 next #7): bisenetv2_train_imgs_per_sec — the
-full jitted train step (normalize → fwd → OHEM main+4 aux → grad → SGD →
-BN update) at bs16 512×1024 bf16, the reference recipe's global batch
-(configs/bisenetv2_city.py; hot loop tools/train_amp.py:218-291).
-vs_baseline is pinned to the 97.8 img/s measured in r2 (PARITY.md) so
-regressions are driver-visible round-over-round.
+  * bisenetv2_train_imgs_per_sec (VERDICT r2 next #7) — the full jitted
+    train step (normalize → fwd → OHEM main+4 aux → grad → SGD → BN update)
+    at bs16 512×1024 bf16, the reference recipe's global batch
+    (configs/bisenetv2_city.py; hot loop tools/train_amp.py:218-291);
+    vs_baseline pinned to the 97.8 img/s measured in r2 (PARITY.md).
+  * bisenetv1_1024x2048_bf16_inference_fps — the reference's OTHER headline
+    deploy number (README.md:9 — 68 FPS fp16 T4); same methodology as the
+    headline.
 """
 
 import json
@@ -27,16 +30,27 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-T4_FP16_FPS = 59.0  # reference README.md:10
+T4_V2_FP16_FPS = 59.0  # reference README.md:10
+T4_V1_FP16_FPS = 68.0  # reference README.md:9
+R2_TRAIN_IMGS_PER_SEC = 97.8  # r2 measured value (PARITY.md) — regression pin
 
 
-def main():
+def _median3(run_once) -> tuple:
+    """Pinned methodology (since r2): warmup, then 3 chained-loop runs;
+    report the MEDIAN and every run so tunnel jitter is visible."""
+    run_once(0)  # compile + warmup
+    runs = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        n = run_once(rep + 1)
+        runs.append(n / (time.perf_counter() - t0))
+    return sorted(runs)[1], [round(r, 2) for r in runs]
+
+
+def bench_v2_infer():
+    """1024×2048 bs1 bf16 deploy graph FPS (the headline)."""
     from mds_tpu.models.bisenetv2 import BiSeNetV2
-    from mds_tpu.models.layers import (
-        set_detail_fuse,
-        set_pred_impl,
-        set_stem_impl,
-    )
+    from mds_tpu.models.layers import set_detail_fuse, set_stem_impl
 
     # Pallas stem kernel: the two full-res RGB stem convs cost 3.6 ms of a
     # 9.0 ms graph under XLA's emitter (profiled 2026-08-16); the kernel is
@@ -62,16 +76,45 @@ def main():
     # does not pay; in-graph it also forces extra layout copies (89.6 FPS
     # end-to-end vs 121.7). Kept as a documented negative result + for
     # backends with slower resize lowerings.
-    model = BiSeNetV2(n_classes=(19,), n_bn=1, aux=False, dtype=jnp.bfloat16)
-    H, W = 1024, 2048
-    rng = jax.random.PRNGKey(0)
+    try:
+        fps, runs = _bench_pred_loop(
+            BiSeNetV2(n_classes=(19,), n_bn=1, aux=False, dtype=jnp.bfloat16)
+        )
+    finally:
+        set_detail_fuse(False)
+        set_stem_impl("plain")
+    return fps, runs
+
+
+def bench_v1_infer():
+    """BiSeNetV1 1024×2048 bs1 bf16 FPS (reference README.md:9: 68 fp16 T4).
+
+    Pallas 7×7 stem kernel with folded bn1 (ops/pallas/stem.py
+    stem7_conv_bn_relu_s2): XLA's lowering of the C=3 conv1 cost ~2.7 ms +
+    ~2.4 ms of layout copies of an 11.45 ms graph (profiled v5e 2026-08-18).
+    """
+    from mds_tpu.models.bisenetv1 import BiSeNetV1
+    from mds_tpu.models.layers import set_stem_impl
+
+    set_stem_impl("pallas")
+    try:
+        fps, runs = _bench_pred_loop(
+            BiSeNetV1(n_classes=(19,), aux=False, dtype=jnp.bfloat16)
+        )
+    finally:
+        set_stem_impl("plain")
+    return fps, runs
+
+
+def _bench_pred_loop(model, H=1024, W=2048, n_iters=30):
     x0 = jnp.zeros((1, H, W, 3), jnp.float32)
-    variables = jax.jit(lambda k: model.init({"params": k}, [x0], train=False))(rng)
+    variables = jax.jit(
+        lambda k: model.init({"params": k}, [x0], train=False)
+    )(jax.random.PRNGKey(0))
 
     mean = jnp.asarray([0.3257, 0.3690, 0.3223], jnp.float32)
     std = jnp.asarray([0.2112, 0.2148, 0.2115], jnp.float32)
 
-    @jax.jit
     def pred(v, im_u8):
         x = im_u8.astype(jnp.float32) / 255.0
         x = (x - mean.reshape(1, 1, 1, 3)) / std.reshape(1, 1, 1, 3)
@@ -86,8 +129,6 @@ def main():
     # previous prediction), and the result is FETCHED to host (float()) —
     # block_until_ready alone does not actually wait on this backend, and
     # repeated identical dispatches can be served from a content-hash cache.
-    n_iters = 30
-
     @jax.jit
     def pred_loop(v, im, seed):
         def body(i, carry):
@@ -96,73 +137,15 @@ def main():
 
         return jax.lax.fori_loop(0, n_iters, body, seed)
 
-    float(pred_loop(variables, im, jnp.uint8(0)))  # compile + warmup
-    # pinned methodology (since r2): 3 chained-loop runs, report the MEDIAN
-    # and include every run so the tunnel jitter is visible, not hidden
-    runs = []
-    for rep in range(3):
-        t0 = time.perf_counter()
-        float(pred_loop(variables, im, jnp.uint8(rep + 1)))
-        runs.append(n_iters / (time.perf_counter() - t0))
-    fps = sorted(runs)[1]
+    def run_once(rep):
+        float(pred_loop(variables, im, jnp.uint8(rep)))
+        return n_iters
 
-    print(
-        json.dumps(
-            {
-                "metric": "bisenetv2_1024x2048_bf16_inference_fps",
-                "value": round(fps, 2),
-                "unit": "fps/chip",
-                "vs_baseline": round(fps / T4_FP16_FPS, 3),
-                "runs": [round(r, 2) for r in runs],
-            }
-        )
-    )
-    global _HEADLINE_PRINTED
-    _HEADLINE_PRINTED = True
-    # Release the inference section's live arrays and compiled executables
-    # before timing training. MEASURED (v5e, 2026-08-17): bench_train run
-    # after the inference bench in the same process reads 88.6 img/s, but
-    # 94.9 isolated (same commit, same day) — the live 1024×2048 graph's
-    # buffers/executables cost the train step ~7%. Deploy-path globals are
-    # reset too so the train graph is the shipped default configuration.
-    del pred_loop, variables, im, model
-    set_detail_fuse(False)
-    set_stem_impl("plain")
-    jax.clear_caches()
-    try:
-        bench_train()
-    except Exception as e:  # one retry: the tunnel occasionally drops a call
-        print(f"# bench_train failed ({type(e).__name__}: {e}); retrying",
-              file=sys.stderr)
-        jax.clear_caches()
-        bench_train()
-
-
-_HEADLINE_PRINTED = False
-
-
-def _main_with_retry():
-    """One retry for the whole bench: a transient tunnel error must not
-    leave the driver's BENCH record empty. Never reruns after the headline
-    line was printed (no duplicate JSON lines)."""
-    try:
-        main()
-    except Exception as e:
-        if _HEADLINE_PRINTED:
-            raise
-        print(f"# bench failed ({type(e).__name__}: {e}); retrying",
-              file=sys.stderr)
-        jax.clear_caches()
-        main()
-
-
-R2_TRAIN_IMGS_PER_SEC = 97.8  # r2 measured value (PARITY.md) — regression pin
+    return _median3(run_once)
 
 
 def bench_train(fused_up_loss: bool = False, quiet: bool = False):
     """bs16 512×1024 bf16 train-step throughput, chained on device."""
-    import numpy as np
-
     from mds_tpu.engine.lr_schedule import warmup_poly_lr
     from mds_tpu.engine.optim import sgd_param_groups
     from mds_tpu.engine.train_step import init_train_state, make_seg_train_step
@@ -201,26 +184,75 @@ def bench_train(fused_up_loss: bool = False, quiet: bool = False):
     def fetch(st):  # force a real device→host read (tunnel-honest timing)
         return float(jax.tree_util.tree_leaves(st.params)[0].reshape(-1)[0])
 
-    fetch(train_loop(state, im, lb))  # compile + warmup
-    runs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
+    def run_once(rep):
         fetch(train_loop(state, im, lb))
-        runs.append(n_iters * B / (time.perf_counter() - t0))
-    ips = sorted(runs)[1]
+        return n_iters * B
+
+    ips, runs = _median3(run_once)
     if quiet:
         return ips
-    print(
-        json.dumps(
-            {
-                "metric": "bisenetv2_train_imgs_per_sec",
-                "value": round(ips, 2),
-                "unit": "imgs/s/chip",
-                "vs_baseline": round(ips / R2_TRAIN_IMGS_PER_SEC, 3),
-                "runs": [round(r, 2) for r in runs],
-            }
-        )
-    )
+    return ips, runs
+
+
+def main():
+    fps, runs = bench_v2_infer()
+    record = {
+        "metric": "bisenetv2_1024x2048_bf16_inference_fps",
+        "value": round(fps, 2),
+        "unit": "fps/chip",
+        "vs_baseline": round(fps / T4_V2_FP16_FPS, 3),
+        "runs": runs,
+    }
+    global _HEADLINE
+    _HEADLINE = record
+    # Secondary metrics: release the headline section's live arrays and
+    # compiled executables first. MEASURED (v5e, 2026-08-17): bench_train run
+    # after the inference bench in the same process reads 88.6 img/s, but
+    # 94.9 isolated (same commit, same day) — the live 1024×2048 graph's
+    # buffers/executables cost the train step ~7%.
+    extras = []
+    for name, fn, base in (
+        ("bisenetv1_1024x2048_bf16_inference_fps", bench_v1_infer,
+         T4_V1_FP16_FPS),
+        ("bisenetv2_train_imgs_per_sec", bench_train, R2_TRAIN_IMGS_PER_SEC),
+    ):
+        jax.clear_caches()
+        try:
+            value, vruns = fn()
+        except Exception as e:  # a secondary must not cost the headline
+            print(f"# {name} failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+            continue
+        extras.append({
+            "metric": name,
+            "value": round(value, 2),
+            "unit": "imgs/s/chip" if "train" in name else "fps/chip",
+            "vs_baseline": round(value / base, 3),
+            "runs": vruns,
+        })
+    record["extra_metrics"] = extras
+    print(json.dumps(record))
+
+
+_HEADLINE = None
+
+
+def _main_with_retry():
+    """One retry for the whole bench: a transient tunnel error must not
+    leave the driver's BENCH record empty. Never reruns after the headline
+    was measured (no duplicate JSON lines) — if a later stage fails with a
+    headline in hand, print what we have."""
+    try:
+        main()
+    except Exception as e:
+        if _HEADLINE is not None:
+            _HEADLINE.setdefault("extra_metrics", [])
+            print(json.dumps(_HEADLINE))
+            return
+        print(f"# bench failed ({type(e).__name__}: {e}); retrying",
+              file=sys.stderr)
+        jax.clear_caches()
+        main()
 
 
 if __name__ == "__main__":
