@@ -158,7 +158,21 @@ def depthwise3x3_wgrad_pallas(
     else:
         dyt = dy.reshape(b, h_out, w_out, c, mult).transpose(0, 1, 2, 4, 3)
 
-    dy_row = w_out * mult * c * itemsize
+    # Budget rows by the kernel's f32 LIVE SET, not the bf16 block bytes:
+    # _wgrad_taps keeps dyt upcast to f32 for all nine taps plus one f32
+    # tap×dyt product of the same shape — ~2×(th·Wo·m·C·4) live at once.
+    # Budgeting only the bf16 dy block (pre-2026-08-18) made Mosaic's
+    # register allocator spill ~141 MB at the mult-6 GELayer shapes.
+    #
+    # STATUS (v5e libtpu, 2026-08-18): even with the f32-aware budget,
+    # Mosaic stack-OOMs at some train shapes — e.g. (th=32,Wo=128,C=96,m=1)
+    # allocates a 70.4 MB kernel stack vs its 16 MB scoped-vmem limit; its
+    # layout for the rank-4 tap×dyt reduction materializes far more than
+    # the analytic live set (a 2-D per-m row-reduction rewrite compiled
+    # >10 min without finishing — worse). The hybrid VJP therefore treats
+    # impl="pallas" as CPU-interpret-verified but not production on this
+    # toolchain (ops/depthwise.py keeps "einsum" the default).
+    dy_row = w_out * mult * c * 4 * 2
     if stride == 1:
         in_row = (w_in + 2) * c * itemsize
         th = _pick(h_out, in_row, dy_row)

@@ -4,13 +4,17 @@
 Runs bench.bench_train (bs16 512×1024 bf16, chained+fetched median-of-3)
 under each switch combination and prints imgs/s per config:
 
-  base        einsum dw-wgrad · fast maxpool bwd · resize loss  (defaults)
-  xla-pool    … but SelectAndScatter maxpool bwd (pre-r3 behavior)
+  base        einsum dw-wgrad · xla maxpool bwd · resize loss  (defaults)
+  fast-pool   … but mask/pad maxpool VJP (documented in-graph negative)
   pal-wgrad   … + single-pass Pallas dw weight-grad
   fused-loss  … + phase-decomposed upsample+OHEM (no full-res volumes)
   all         pal-wgrad + fused-loss
 
-Usage: python tools/bench_train_ab.py
+Measured 2026-08-18 (v5e): base 101.91 · fast-pool 62.73 · pal-wgrad
+FAILED (Mosaic scoped-vmem stack OOM — see ops/pallas/depthwise.py
+wgrad STATUS note; the kernel stays CPU-interpret-verified only).
+
+Usage: python tools/bench_train_ab.py [config ...]
 """
 
 import sys
@@ -24,7 +28,7 @@ from mds_tpu.models import layers
 from mds_tpu.ops import depthwise as dwm
 
 
-def run(name, *, wgrad="einsum", pool="fast", fused=False, stem="plain"):
+def run(name, *, wgrad="einsum", pool="xla", fused=False, stem="plain"):
     dwm.set_dw_wgrad_impl(wgrad)
     layers.set_maxpool_impl(pool)
     layers.set_stem_impl(stem)
@@ -35,7 +39,7 @@ def run(name, *, wgrad="einsum", pool="fast", fused=False, stem="plain"):
         print(f"{name:12s}: FAILED {type(e).__name__}: {e}", flush=True)
     finally:
         dwm.set_dw_wgrad_impl("einsum")
-        layers.set_maxpool_impl("fast")
+        layers.set_maxpool_impl("xla")
         layers.set_stem_impl("plain")
         jax.clear_caches()
 
@@ -46,7 +50,7 @@ if __name__ == "__main__":
     only = _sys.argv[1:] or None
     cfgs = {
         "base": {},
-        "xla-pool": {"pool": "xla"},
+        "fast-pool": {"pool": "fast"},
         "pal-wgrad": {"wgrad": "pallas"},
         "fused-loss": {"fused": True},
         "planes-stem": {"stem": "planes"},
