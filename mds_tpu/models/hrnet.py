@@ -231,7 +231,6 @@ class ProjectionHead(nn.Module):
         return lmap(conv, xs)
 
 
-@MODELS.register("hrnet_w48_gnn")
 class HRNetW48(nn.Module):
     """HRNet-W48 with unified-prototype classifier + bipartite remap
     (HRNetv2.py HRNet_W48 :298 / HRNet_W48_GNN :558 / HRNet_W48_CLIP :423 —
@@ -332,6 +331,7 @@ class HRNetW48(nn.Module):
 
 
 @MODELS.register("hrnet_w48")
+@MODELS.register("hrnet_w48_gnn")
 def hrnet_w48(configer=None, **kw):
     return HRNetW48.from_configer(configer, **kw)
 

@@ -30,6 +30,22 @@ CFG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
     "bisenetv2_camvid.json",
     "bisenetv2_a2d2.json",
     "bisenetv1_coco.json",
+    # round-3 recipe-zoo expansion (distinct reference recipes)
+    "ltbgnn_7_datasets_hr.json",
+    "ltbgnn_7_datasets_snp_train_tg.json",
+    "ltbgnn_3_datasets_snp_unlabel.json",
+    "ltbgnn_3_datasets_gat.json",
+    "ltbgnn_all_in_one.json",
+    "clip_7_datasets.json",
+    "ltbgnn_7_datasets_mseg.json",
+    "kitti.json",
+    "wilddash.json",
+    "scannet.json",
+    "camvid.json",
+    "Cityscapes.json",
+    "Mapi.json",
+    "gnn_city_cam_a2d2.json",
+    "CEloss_city_cam_a2d2.json",
 ])
 def test_config_builds_model(name):
     configer = Configer(config_file=os.path.join(CFG_DIR, name))
@@ -95,6 +111,31 @@ def test_model_factory_covers_reference_names():
     have = set(MODELS._registry if hasattr(MODELS, "_registry") else MODELS.keys())
     missing = [n for n in ref_names if n not in have]
     assert not missing, missing
+
+
+@pytest.mark.parametrize("name", [
+    "ltbgnn_7_datasets_hr.json",
+    "ltbgnn_7_datasets_snp_train_tg.json",
+    "ltbgnn_3_datasets_snp_unlabel.json",
+    "ltbgnn_all_in_one.json",
+    "ltbgnn_7_datasets_mseg.json",
+    "kitti.json",
+    "wilddash.json",
+    "scannet.json",
+    "camvid.json",
+])
+def test_new_recipe_builds_gnn_model(name):
+    """The alternating-trainer recipes also construct their GNN unifier
+    (reference: each ltbgnn config names a GNN.model_name consumed by
+    set_graph_model, train_ltbgnn_all_datasets_snp.py:147)."""
+    from mds_tpu.models.gnn import LearnableTopologyBGNN
+
+    c = Configer(config_file=os.path.join(CFG_DIR, name))
+    gnn = LearnableTopologyBGNN.from_configer(c)
+    total = sum(c.n_cats(i) for i in range(c.n_datasets))
+    assert gnn.total_cats == total
+    ratio = float(c.get("GNN", "unify_ratio", default=1.0))
+    assert gnn.max_num_unify_class == int(ratio * total)
 
 
 def test_eval_crop_recipes_match_reference():
