@@ -150,6 +150,11 @@ def bench_train(fused_up_loss: bool = False, quiet: bool = False):
     from mds_tpu.engine.optim import sgd_param_groups
     from mds_tpu.engine.train_step import init_train_state, make_seg_train_step
     from mds_tpu.models.bisenetv2 import BiSeNetV2
+    from mds_tpu.models.layers import auto_dropout_impl, set_dropout_impl
+
+    # HW-PRNG dropout masks (the production Trainer default on TPU):
+    # 102.1 → 103.1 img/s (2026-08-18)
+    set_dropout_impl(auto_dropout_impl())
 
     B, H, W = 16, 512, 1024
     model = BiSeNetV2(n_classes=(19,), n_bn=1, dtype=jnp.bfloat16)
@@ -188,7 +193,10 @@ def bench_train(fused_up_loss: bool = False, quiet: bool = False):
         fetch(train_loop(state, im, lb))
         return n_iters * B
 
-    ips, runs = _median3(run_once)
+    try:
+        ips, runs = _median3(run_once)
+    finally:
+        set_dropout_impl("threefry")
     if quiet:
         return ips
     return ips, runs

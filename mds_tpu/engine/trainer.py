@@ -86,6 +86,13 @@ class Trainer:
             warmup=configer.get("lr", "warmup", default="exp"),
         )
         self.tx = build_optimizer(configer, self.schedule)
+        # SegmentHead dropout masks from the TPU hardware PRNG (+1 img/s at
+        # bs16 512×1024, measured 2026-08-18); train.hw_dropout=false opts
+        # back into the portable threefry masks.
+        from mds_tpu.models.layers import auto_dropout_impl, set_dropout_impl
+
+        if bool(configer.get("train", "hw_dropout", default=True)):
+            set_dropout_impl(auto_dropout_impl())
         self.model = build_model(configer, dtype=compute_dtype)
 
         crop = configer.get("train", "cropsize", default=[512, 512])
@@ -272,8 +279,13 @@ class Trainer:
             )
         self.logger.info(f"finetuning from {path}")
 
-    def train(self, loader=None, log_interval: int = 100):
+    def train(self, loader=None, log_interval: int | None = None):
         configer = self.configer
+        if log_interval is None:
+            # reference msg_iter (train_amp.py:100): config-driven cadence
+            log_interval = int(
+                configer.get("train", "log_interval", default=100)
+            )
         if loader is None:
             # ims_per_gpu is per device (reference per-GPU batch); this
             # process feeds all local devices of the mesh

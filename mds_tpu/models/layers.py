@@ -630,6 +630,30 @@ def avg_pool_3x3_s2(x: jax.Array) -> jax.Array:
     )
 
 
+# Dropout mask source. "threefry" (default, backend-portable) draws uint8
+# keep-masks with jax.random.bits; "pallas" routes through the TPU hardware
+# PRNG kernel (ops/pallas/dropout.py) — the threefry mask fusion still cost
+# ~2.8 ms/step at bs16 512×1024 (v5e profile 2026-08-18), the HW generator
+# makes it ~free and the backward regenerates instead of storing the mask.
+_DROPOUT_IMPL = "threefry"  # "threefry" | "pallas"
+
+
+def set_dropout_impl(impl: str) -> None:
+    assert impl in ("threefry", "pallas"), impl
+    global _DROPOUT_IMPL
+    _DROPOUT_IMPL = impl
+
+
+def auto_dropout_impl() -> str:
+    """Pick the HW-PRNG dropout on TPU backends ('axon' = the remote-tunnel
+    TPU platform), the portable threefry path elsewhere."""
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # backend init failure — stay portable
+        return "threefry"
+    return "pallas" if platform in ("tpu", "axon") else "threefry"
+
+
 class FastDropout(nn.Module):
     """Dropout whose keep-mask comes from uint8 random draws.
 
@@ -639,7 +663,8 @@ class FastDropout(nn.Module):
     showed up as ~4.7 ms/step on v5e. 8-bit draws need 4× fewer threefry
     blocks; the keep probability is quantized to 1/256, which is
     immaterial for dropout regularization. (The rbg-key alternative was
-    measured and rejected — see engine/train_step.py RNG note.)"""
+    measured and rejected — see engine/train_step.py RNG note.)
+    set_dropout_impl("pallas") swaps in the hardware-PRNG kernel."""
 
     rate: float = 0.1
     rng_collection: str = "dropout"
@@ -648,10 +673,17 @@ class FastDropout(nn.Module):
     def __call__(self, x: jax.Array, *, deterministic: bool) -> jax.Array:
         if deterministic or self.rate == 0.0:
             return x
+        key = self.make_rng(self.rng_collection)
+        if _DROPOUT_IMPL == "pallas":
+            from mds_tpu.ops.pallas.dropout import dropout_u8_pallas
+
+            data = jax.random.key_data(key)
+            seed = jax.lax.bitcast_convert_type(
+                data.reshape(-1)[:2], jnp.int32
+            )
+            return dropout_u8_pallas(x, seed, self.rate)
         drop = int(round(self.rate * 256))
-        bits = jax.random.bits(
-            self.make_rng(self.rng_collection), x.shape, jnp.uint8
-        )
+        bits = jax.random.bits(key, x.shape, jnp.uint8)
         scale = jnp.asarray(256.0 / (256.0 - drop), x.dtype)
         return jnp.where(bits >= jnp.uint8(drop), x * scale, jnp.zeros((), x.dtype))
 

@@ -10,9 +10,14 @@ under each switch combination and prints imgs/s per config:
   fused-loss  … + phase-decomposed upsample+OHEM (no full-res volumes)
   all         pal-wgrad + fused-loss
 
-Measured 2026-08-18 (v5e): base 101.91 · fast-pool 62.73 · pal-wgrad
-FAILED (Mosaic scoped-vmem stack OOM — see ops/pallas/depthwise.py
-wgrad STATUS note; the kernel stays CPU-interpret-verified only).
+Measured 2026-08-18 (v5e), full sweep at production defaults:
+  base 102.08 · fused-loss 86.15 · planes-stem 93.42 · pallas-stem 95.28
+  fast-pool 62.73 · pal-wgrad + all FAILED (Mosaic scoped-vmem stack OOM —
+  see ops/pallas/depthwise.py wgrad STATUS note; that kernel stays
+  CPU-interpret-verified only).
+`base` wins every A/B: the production defaults are the measured optimum.
+Orthogonal to this sweep, HW-PRNG dropout masks (ops/pallas/dropout.py,
+now the Trainer/bench default on TPU) lift base 102.08 → 103.05.
 
 Usage: python tools/bench_train_ab.py [config ...]
 """
