@@ -581,7 +581,10 @@ class AlternatingTrainer:
             self.switch_to_gnn()
         elif self.stage == GNN and self.alter_iter >= self.gnn_iters:
             self.switch_to_seg()
-        if self.mesh is not None:
+        n_dev = 1 if self.mesh is None else int(self.mesh.devices.size)
+        if self.mesh is not None and all(
+            np.shape(x)[0] % n_dev == 0 for x in batch["ims"]
+        ):
             from mds_tpu.parallel.mesh import shard_batch
 
             dev = shard_batch(
@@ -589,7 +592,7 @@ class AlternatingTrainer:
                 self.mesh,
             )
             ims, lbs = dev["ims"], dev["lbs"]
-        else:
+        else:  # tiny per-dataset batches (tests): single-device fallback
             ims = [jnp.asarray(x) for x in batch["ims"]]
             lbs = [jnp.asarray(x) for x in batch["lbs"]]
         if self.stage == GNN:

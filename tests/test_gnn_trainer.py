@@ -207,3 +207,120 @@ def test_clip_mode_freezes_prototypes():
         jax.tree_util.tree_leaves(t.seg_state.params["backbone"])[0]
     )
     assert not np.allclose(backbone1, backbone0)
+
+
+@pytest.mark.slow
+def test_cli_gnn_path_uses_data_mesh(tmp_path, monkeypatch):
+    """tools/train.py --gnn must DP the flagship over the full device mesh
+    (reference DDP-wraps BOTH nets, train_ltbgnn_all_datasets_snp.py:268-299):
+    the loader is scaled by the device count, batches arrive data-sharded,
+    and both param trees stay replicated across the whole alternating cycle
+    (including the GNN→SEG prototype/graph injection)."""
+    import json
+    import sys
+
+    import mds_tpu.engine.gnn_trainer as gt_mod
+    import mds_tpu.parallel.mesh as mesh_mod
+
+    n_dev = jax.device_count()
+    assert n_dev == 8  # conftest forces the 8-device virtual CPU mesh
+
+    cfg = {
+        "model_name": "snp_rn18",
+        "n_datasets": 2,
+        "dataset1": {"n_cats": 3, "ims_per_gpu": 1},
+        "dataset2": {"n_cats": 4, "ims_per_gpu": 1},
+        "GNN": {
+            "model_name": "learnable_topology_BGNN_adj",
+            "nfeat": 32, "nfeat_out": 16, "nfeat_adj": 16,
+            "output_feat_dim": 16, "adj_feat_dim": 16,
+            "unify_ratio": 1.0, "dropout_rate": 0.1,
+            "GNN_type": "GSAGE", "mse_or_adv": "None",
+            "output_max_adj": True, "output_softmax_and_max_adj": True,
+            "with_orth": True, "orth_weight": 1.0, "uot_ratio": 1.0,
+        },
+        "loss": {"with_datasets_aux": True, "aux_weight": 0.2},
+        "contrast": {"temperature": 0.07},
+        "lr": {"seg_lr_start": 1e-3, "gnn_lr_start": 1e-3,
+               "weight_decay": 1e-5, "max_iter": 5, "warmup_iters": 1},
+        "train": {"seg_iters": 2, "gnn_iters": 2, "cropsize": [HW, HW],
+                  "ckpt_interval": 100000},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    created = []
+    real_trainer = gt_mod.AlternatingTrainer
+
+    class CapturingTrainer(real_trainer):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            created.append(self)
+
+    monkeypatch.setattr(gt_mod, "AlternatingTrainer", CapturingTrainer)
+
+    seen_mults = []
+
+    class FakeLoader:
+        def __init__(self, mult):
+            self.rng = np.random.default_rng(0)
+            self.mult = mult
+
+        def __next__(self):
+            b = make_batch(self.rng)
+            return {
+                "ims": [np.repeat(x, self.mult, axis=0) for x in b["ims"]],
+                "lbs": [np.repeat(x, self.mult, axis=0) for x in b["lbs"]],
+            }
+
+        def close(self):
+            pass
+
+    def fake_get_data_loader(configer, mode="train", rank=0, world=1,
+                             stage=None, batch_multiplier=1):
+        seen_mults.append(batch_multiplier)
+        return FakeLoader(batch_multiplier)
+
+    import mds_tpu.data.loader as loader_mod
+
+    monkeypatch.setattr(loader_mod, "get_data_loader", fake_get_data_loader)
+
+    sharded_specs = []
+    real_shard_batch = mesh_mod.shard_batch
+
+    def spy_shard_batch(batch, mesh, axis="data"):
+        out = real_shard_batch(batch, mesh, axis)
+        for x in jax.tree_util.tree_leaves(out):
+            sharded_specs.append(x.sharding)
+        return out
+
+    monkeypatch.setattr(mesh_mod, "shard_batch", spy_shard_batch)
+
+    import tools.train as train_cli
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["train.py", "--config", str(cfg_path),
+         "--work-dir", str(tmp_path), "--gnn"],
+    )
+    train_cli.main()
+
+    # loader scaled by the local device count
+    assert seen_mults == [n_dev]
+    # the trainer got the full mesh
+    assert len(created) == 1
+    t = created[0]
+    assert t.mesh is not None and int(t.mesh.devices.size) == n_dev
+    # batches went through shard_batch with a data-sharded (NOT replicated) spec
+    assert sharded_specs, "no batch was sharded over the mesh"
+    for s in sharded_specs:
+        assert not s.is_fully_replicated
+        assert len(s.device_set) == n_dev
+    # both param trees end (post GNN→SEG injection) replicated on all devices
+    for tree in (t.seg_state.params, t.gnn_state.params, t.seg_buffers):
+        for leaf in jax.tree_util.tree_leaves(tree):
+            assert leaf.sharding.is_fully_replicated
+            assert len(leaf.sharding.device_set) == n_dev
+    # the full alternating cycle ran (GNN stage → switch → SEG stage)
+    assert t.total_iter == 5
+    assert t.uot_bi is not None

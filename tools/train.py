@@ -56,8 +56,12 @@ def main():
         if trainer.ckpt.latest_step() is not None:
             trainer.restore()
             logger.info(f"restored contrast ckpt at step {int(trainer.state.step)}")
+        # ims_per_gpu is per device (reference per-GPU batch); this process
+        # feeds every local device of the trainer's mesh (engine/trainer.py
+        # does the same for the plain seg path)
         loader = get_data_loader(
-            configer, "train", rank=jax.process_index(), world=jax.process_count()
+            configer, "train", rank=jax.process_index(), world=jax.process_count(),
+            batch_multiplier=trainer.mesh.devices.size // jax.process_count(),
         )
         tm, lm = TimeMeter(trainer.max_iter), AvgMeter()
         try:
@@ -86,8 +90,14 @@ def main():
         from mds_tpu.utils.logger import setup_logger
         from mds_tpu.utils.meters import AvgMeter, TimeMeter
 
+        from mds_tpu.parallel.mesh import make_mesh
+
         logger = setup_logger("mds_tpu_gnn", args.work_dir)
-        trainer = AlternatingTrainer(configer)
+        # DP mesh over all devices: the reference DDP-wraps BOTH nets
+        # (train_ltbgnn_all_datasets_snp.py:268-299); here both param trees
+        # are replicated and the per-dataset batches shard on `data`
+        mesh = make_mesh()
+        trainer = AlternatingTrainer(configer, mesh=mesh)
         # persistence + periodic eval (reference saves every 10k iters and
         # evals at stage switches, train_ltbgnn_all_datasets_snp.py:530-569)
         ckpt_dir = os.path.join(args.work_dir, "ckpt_gnn")
@@ -106,8 +116,12 @@ def main():
                 f"restored alternating ckpt at iter {trainer.total_iter} "
                 f"(stage={trainer.stage}, alter_iter={trainer.alter_iter})"
             )
+        # scale each dataset's ims_per_gpu by the local device count — the
+        # same global-batch accounting as the seg Trainer
+        # (engine/trainer.py:292-296)
         loader = get_data_loader(
-            configer, "train", rank=jax.process_index(), world=jax.process_count()
+            configer, "train", rank=jax.process_index(), world=jax.process_count(),
+            batch_multiplier=mesh.devices.size // jax.process_count(),
         )
         max_iter = trainer.max_iter
         tm, lm = TimeMeter(max_iter), AvgMeter()
