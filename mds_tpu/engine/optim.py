@@ -18,9 +18,10 @@ scale_by_learning_rate(schedule).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -44,6 +45,21 @@ def _mask(params: Any, pred: Callable) -> Any:
     return jax.tree_util.tree_map_with_path(lambda p, v: pred(p, v), params)
 
 
+def _is_wd_kernel(path, v) -> bool:
+    # weight decay on conv/linear kernels only (torch: param.dim() in
+    # (2,4)). NOT a plain ndim>=2 test: per-dataset BN affine params are
+    # STACKED to (n_bn, C) in our trees (models/layers.py DatasetNorm)
+    # while each torch BN weight is dim-1 (no-wd group) — match on the
+    # leaf name so stacking can't change a param's group.
+    name = getattr(path[-1], "key", "") if path else ""
+    return v.ndim >= 2 and name in ("kernel", "embedding")
+
+
+class SGDGroupsState(NamedTuple):
+    count: jnp.ndarray  # schedule step
+    trace: Any  # momentum buffers (params-shaped pytree)
+
+
 def sgd_param_groups(
     schedule: Callable,
     momentum: float = 0.9,
@@ -51,25 +67,46 @@ def sgd_param_groups(
     lr_mul: float = 10.0,
     nesterov: bool = False,
 ) -> optax.GradientTransformation:
-    """SGD with wd-masking and head-lr multiplier (4 torch param groups)."""
+    """SGD with wd-masking and head-lr multiplier (4 torch param groups).
 
-    def wd_mask(params):
-        # weight decay on ndim>=2 kernels only (torch: param.dim() in (2,4))
-        return _mask(params, lambda p, v: v.ndim >= 2)
+    Written as ONE custom transformation (not an optax.chain) so it can
+    reproduce torch.optim.SGD exactly, including the grad-None skip:
+    torch never touches a param whose .grad is None — e.g. the main
+    SegmentHead's structurally-dead conv1 block (built but unused when
+    aux=False, lib/models/bisenetv2.py:513-530; DDP find_unused_parameters
+    leaves its grad None). Per-leaf, a gradient that is identically zero
+    means "unused this step": momentum buffer kept as-is, no weight decay,
+    zero update. Verified against torch in tests/test_train_step_parity.py.
+    """
 
-    def head_mask(params):
-        return _mask(params, lambda p, v: _path_has_head(p))
+    def init(params):
+        return SGDGroupsState(
+            count=jnp.zeros([], jnp.int32),
+            trace=jax.tree_util.tree_map(jnp.zeros_like, params),
+        )
 
-    def not_head_mask(params):
-        return _mask(params, lambda p, v: not _path_has_head(p))
+    def update(grads, state, params=None):
+        assert params is not None, "sgd_param_groups needs params (for wd)"
+        lr = schedule(state.count)
 
-    return optax.chain(
-        optax.add_decayed_weights(weight_decay, mask=wd_mask),
-        optax.trace(decay=momentum, nesterov=nesterov),
-        # 10× lr for head params, 1× elsewhere
-        optax.masked(optax.scale(lr_mul), head_mask),
-        optax.scale_by_learning_rate(schedule),  # includes the −1
-    )
+        def leaf(path, g, p, v):
+            is_wd = _is_wd_kernel(path, p)
+            group_lr = lr * (lr_mul if _path_has_head(path) else 1.0)
+            used = jnp.any(g != 0)
+            d = g + weight_decay * p if is_wd else g
+            v_new = jnp.where(used, momentum * v + d, v)
+            step_dir = d + momentum * v_new if nesterov else v_new
+            upd = jnp.where(used, -group_lr * step_dir, jnp.zeros_like(p))
+            return v_new, upd
+
+        out = jax.tree_util.tree_map_with_path(leaf, grads, params, state.trace)
+        trace = jax.tree_util.tree_map(lambda t: t[0], out,
+                                       is_leaf=lambda x: isinstance(x, tuple))
+        updates = jax.tree_util.tree_map(lambda t: t[1], out,
+                                         is_leaf=lambda x: isinstance(x, tuple))
+        return updates, SGDGroupsState(count=state.count + 1, trace=trace)
+
+    return optax.GradientTransformation(init, update)
 
 
 def adamw(

@@ -48,44 +48,19 @@ def normalize_images(
     return out
 
 
-def make_seg_train_step(
+def make_seg_loss_fn(
     model,
-    tx: optax.GradientTransformation,
     means: Sequence,
     stds: Sequence,
     ohem_thresh: float = 0.7,
     compute_dtype=jnp.bfloat16,
-    donate: bool = True,
-    mesh=None,
-    local_bn: bool = False,
     fused_up_loss: bool = False,
 ) -> Callable:
-    """Build the jitted multi-dataset train step for head-based models
-    (BiSeNetV1/V2). Returns step_fn(state, ims, lbs, rng) -> (state, metrics).
+    """The multi-dataset seg loss used by make_seg_train_step, exposed so
+    the torch train-step parity test (tests/test_train_step_parity.py)
+    differentiates EXACTLY the production loss path.
 
-    local_bn=True (requires mesh): the reference's DEFAULT BN semantics —
-    per-GPU batch moments, no cross-replica sync (use_sync_bn=False,
-    configs/bisenetv2_city.py; DDP does not sync BN unless
-    convert_sync_batchnorm is called). Implemented by shard_mapping the
-    grad computation over the data axis so each shard normalizes with its
-    OWN moments; gradients are pmean'd (= DDP all-reduce) and the running
-    stats are pmean'd across shards for the replicated state. Default
-    (False) keeps global-batch moments (SyncBN — usually better on TPU).
-
-    RNG note (measured negative result, v5e + CPU bisect 2026-08-17):
-    converting the step key to the hardware-backed 'rbg' PRNG to speed up
-    the SegmentHead dropout draws (~4.7 ms/step of threefry in the
-    profile) DOUBLES trace+compile time of the full train step (CPU
-    bisect: trace 110s→200s, compile 16s→26s) — rbg keys stay out; the
-    dropout cost is attacked at the source instead with uint8 draws
-    (models/layers.py FastDropout).
-
-    fused_up_loss=True calls the model with up=False and evaluates the OHEM
-    CE through the phase-decomposed upsample (OhemCELoss.upsampled): the
-    five full-res (B,H,W,19) head volumes — the largest tensors in the
-    graph — never materialize. Requires a model whose __call__ takes `up`
-    and reports 'up_factors' (BiSeNetV2 family). Loss is value-identical
-    (the resize is decomposed exactly; tests/test_losses.py).
+    loss_fn(params, batch_stats, ims, lbs, rng) -> (loss, (new_stats, metrics))
     """
     criteria = OhemCELoss(ohem_thresh)
     means = [jnp.asarray(m, jnp.float32) for m in means]
@@ -126,6 +101,53 @@ def make_seg_train_step(
             metrics[f"loss_pre_{i}"] = l_main
         metrics["loss"] = total
         return total, (mut["batch_stats"], metrics)
+
+    return loss_fn
+
+
+def make_seg_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    means: Sequence,
+    stds: Sequence,
+    ohem_thresh: float = 0.7,
+    compute_dtype=jnp.bfloat16,
+    donate: bool = True,
+    mesh=None,
+    local_bn: bool = False,
+    fused_up_loss: bool = False,
+) -> Callable:
+    """Build the jitted multi-dataset train step for head-based models
+    (BiSeNetV1/V2). Returns step_fn(state, ims, lbs, rng) -> (state, metrics).
+
+    local_bn=True (requires mesh): the reference's DEFAULT BN semantics —
+    per-GPU batch moments, no cross-replica sync (use_sync_bn=False,
+    configs/bisenetv2_city.py; DDP does not sync BN unless
+    convert_sync_batchnorm is called). Implemented by shard_mapping the
+    grad computation over the data axis so each shard normalizes with its
+    OWN moments; gradients are pmean'd (= DDP all-reduce) and the running
+    stats are pmean'd across shards for the replicated state. Default
+    (False) keeps global-batch moments (SyncBN — usually better on TPU).
+
+    RNG note (measured negative result, v5e + CPU bisect 2026-08-17):
+    converting the step key to the hardware-backed 'rbg' PRNG to speed up
+    the SegmentHead dropout draws (~4.7 ms/step of threefry in the
+    profile) DOUBLES trace+compile time of the full train step (CPU
+    bisect: trace 110s→200s, compile 16s→26s) — rbg keys stay out; the
+    dropout cost is attacked at the source instead with uint8 draws
+    (models/layers.py FastDropout).
+
+    fused_up_loss=True calls the model with up=False and evaluates the OHEM
+    CE through the phase-decomposed upsample (OhemCELoss.upsampled): the
+    five full-res (B,H,W,19) head volumes — the largest tensors in the
+    graph — never materialize. Requires a model whose __call__ takes `up`
+    and reports 'up_factors' (BiSeNetV2 family). Loss is value-identical
+    (the resize is decomposed exactly; tests/test_losses.py).
+    """
+    loss_fn = make_seg_loss_fn(
+        model, means, stds, ohem_thresh=ohem_thresh,
+        compute_dtype=compute_dtype, fused_up_loss=fused_up_loss,
+    )
 
     grad_fn = jax.grad(loss_fn, has_aux=True)
     if local_bn:
