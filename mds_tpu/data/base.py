@@ -146,6 +146,11 @@ Ade2016 = DATASETS.register("ade2016")(_make_reader("ade20k"))
 CocoStuff = DATASETS.register("Coco_data")(_make_reader("cocostuff"))
 WildDash2 = DATASETS.register("wd2")(_make_reader("wilddash2"))
 ScanNet = DATASETS.register("scannet")(_make_reader("scannet"))
+# KITTI semantics (Cityscapes labelIds — reference feeds
+# datasets/kitti/training.txt to the CityScapes reader, configs/kitti.json)
+Kitti = DATASETS.register("Kitti")(_make_reader("kitti"))
+# PASCAL VOC 2012 aug (reference datasets/voc/train.txt — ids are trainIds)
+Voc = DATASETS.register("Voc")(_make_reader("voc"))
 
 
 @DATASETS.register("Synthetic")

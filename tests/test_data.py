@@ -255,3 +255,26 @@ def test_reader_on_reference_fixture_images(tmp_path):
     # raw-id sanity: id 7 (road) must map to trainId 0 per the golden table
     raw = np.asarray(__import__("PIL.Image", fromlist=["Image"]).open(ref_lb))
     assert np.asarray(spec.lut_eval)[7] == 0 and (raw == 7).any()
+
+
+def test_kitti_and_voc_specs():
+    """KITTI + VOC label specs (VERDICT r3 missing #4; reference
+    datasets/kitti/training.txt + datasets/voc/train.txt)."""
+    from mds_tpu.data.labels import get_spec
+    from mds_tpu.registry import DATASETS
+    import mds_tpu.data.base  # noqa: F401
+
+    kitti = get_spec("kitti")
+    city = get_spec("cityscapes")
+    # KITTI semantics use the Cityscapes labelIds convention
+    assert kitti.n_cats == 19
+    assert np.array_equal(np.asarray(kitti.lut_eval), np.asarray(city.lut_eval))
+
+    voc = get_spec("voc")
+    assert voc.n_cats == 21
+    lut = np.asarray(voc.lut_eval)
+    # ids ARE trainIds (SegmentationClassAug), 255 stays void
+    assert np.array_equal(lut[:21], np.arange(21))
+    assert lut[255] == 255
+    # readers registered for config data_reader keys
+    assert "Kitti" in DATASETS and "Voc" in DATASETS
