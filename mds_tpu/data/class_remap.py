@@ -239,7 +239,12 @@ class ClassRemapOneHotLabel(ClassRemap):
 
         # annealed per-class keep-ratio: for each assigned slot keep the top
         # ratio fraction by similarity (ref top-k loop :391-404)
-        ratio = min(1.25 * float(cur_iter) / max(self.max_iter, 1), 1.0)
+        # cur_iter may be a traced scalar (the jitted contrast step passes
+        # the iteration in as data so the keep-ratio anneal doesn't recompile)
+        ratio = jnp.minimum(
+            1.25 * jnp.asarray(cur_iter, jnp.float32) / max(self.max_iter, 1),
+            1.0,
+        )
         flat_sim = max_sim.reshape(-1)
         flat_assign = assign.reshape(-1)
         valid = (confident & is_multi).reshape(-1)

@@ -93,12 +93,9 @@ def _set(tree: Dict, path: str, value: np.ndarray) -> None:
     node[keys[-1]] = value
 
 
-def bisenetv2_from_torch(
-    state: Mapping[str, "np.ndarray"], n_bn: int = 1, aux: bool = True,
-) -> Tuple[Dict, Dict]:
-    """torch state_dict (reference layout) → (params, batch_stats) trees."""
-    params: Dict = {}
-    stats: Dict = {}
+def _load_v2_trunk(state: Mapping, n_bn: int, params: Dict, stats: Dict):
+    """The BiSeNetV2 trunk (detail/segment/bga + CEBlock BN) shared by the
+    multi-dataset model and the contrast family."""
 
     def load_convbn(ours: str, theirs: str, shared_affine: bool = True):
         _set(params, f"{ours}/conv/kernel", _conv_w(state[f"{theirs}.conv.weight"]))
@@ -134,6 +131,15 @@ def bisenetv2_from_torch(
     _set(stats, "segment/S5_5/bn/var", np.stack(vars_))
     _set(params, "segment/S5_5/bn/scale", np.stack(scales))
     _set(params, "segment/S5_5/bn/bias", np.stack(biases))
+
+
+def bisenetv2_from_torch(
+    state: Mapping[str, "np.ndarray"], n_bn: int = 1, aux: bool = True,
+) -> Tuple[Dict, Dict]:
+    """torch state_dict (reference layout) → (params, batch_stats) trees."""
+    params: Dict = {}
+    stats: Dict = {}
+    _load_v2_trunk(state, n_bn, params, stats)
 
     # heads (per dataset): count them from the state dict
     n_heads = 0
@@ -173,6 +179,94 @@ def bisenetv2_from_torch(
             _set(params, f"{ours}/conv_out/bias",
                  _np(state[f"{theirs}.conv2.bias"]))
     return params, stats
+
+
+def bisenetv2_contrast_from_torch(
+    state: Mapping[str, "np.ndarray"], n_bn: int = 1, aux: bool = True,
+) -> Tuple[Dict, Dict, Dict]:
+    """Reference contrast-family checkpoint (lib/models/bisenetv2_contrast.py
+    BiSeNetV2_Contrast / _WN / _BN, the `--finetune_from` source of
+    tools/train_amp_contrast_single.py) → (params, batch_stats, extras) for
+    BiSeNetV2Contrast.
+
+    Layout: the BiSeNetV2 trunk plus ONE unified SegmentHead
+    (`head.conv/conv1/proj`, bisenetv2_contrast.py:339-394 — `proj` is the
+    bias-free ConvNorm 1×1), aux heads `aux2..aux5_4` (same shape), the
+    convmlp projection head `projHead.conv1/conv_last`
+    (lib/module/projection.py:8-48), and the `prototypes` (U, P, D) buffer
+    (returned in extras for the trainer's sinkhorn prototype state).
+
+    Structural deltas (documented, lossless for finetuning):
+      * ConvNorm's kernel lands in our conv_out with a zero bias (the
+        cosine normalisation is a forward-time op, not a parameter);
+      * the torch aux=False head constructs a dead `conv1` block
+        (bisenetv2_contrast.py:365) — skipped, our head has no such params.
+    """
+    params: Dict = {}
+    stats: Dict = {}
+    extras: Dict = {}
+    _load_v2_trunk(state, n_bn, params, stats)
+
+    def load_head(ours: str, theirs: str, with_conv1: bool):
+        blocks = [("conv", "conv")] + ([("conv1", "conv1")] if with_conv1 else [])
+        for o, t in blocks:
+            _set(params, f"{ours}/{o}/conv/kernel",
+                 _conv_w(state[f"{theirs}.{t}.conv.weight"]))
+            _set(params, f"{ours}/{o}/bn/scale",
+                 _np(state[f"{theirs}.{t}.affine_weight"]))
+            _set(params, f"{ours}/{o}/bn/bias",
+                 _np(state[f"{theirs}.{t}.affine_bias"]))
+            _set(stats, f"{ours}/{o}/bn/mean", np.stack([
+                _np(state[f"{theirs}.{t}.bn.{i}.running_mean"])
+                for i in range(n_bn)
+            ]))
+            _set(stats, f"{ours}/{o}/bn/var", np.stack([
+                _np(state[f"{theirs}.{t}.bn.{i}.running_var"])
+                for i in range(n_bn)
+            ]))
+        # ConvNorm (cosine, no bias) or convmlp proj (plain 1×1 + bias)
+        if f"{theirs}.proj.conv.weight" in state:
+            w = _conv_w(state[f"{theirs}.proj.conv.weight"])
+        else:
+            w = _conv_w(state[f"{theirs}.proj.weight"])
+        _set(params, f"{ours}/conv_out/kernel", w)
+        bias_key = f"{theirs}.proj.bias"
+        if bias_key in state:
+            _set(params, f"{ours}/conv_out/bias", _np(state[bias_key]))
+
+    load_head("head", "head", with_conv1=False)
+    if aux and "aux2.conv.conv.weight" in state:
+        for h in ("aux2", "aux3", "aux4", "aux5_4"):
+            load_head(h, h, with_conv1=True)
+
+    # projection head (convmlp): conv1 = ConvBNReLU, conv_last = 1×1 + bias
+    _set(params, "proj_head/conv1/conv/kernel",
+         _conv_w(state["projHead.conv1.conv.weight"]))
+    _set(params, "proj_head/conv1/bn/scale",
+         _np(state["projHead.conv1.affine_weight"]))
+    _set(params, "proj_head/conv1/bn/bias",
+         _np(state["projHead.conv1.affine_bias"]))
+    _set(stats, "proj_head/conv1/bn/mean", np.stack([
+        _np(state[f"projHead.conv1.bn.{i}.running_mean"]) for i in range(n_bn)
+    ]))
+    _set(stats, "proj_head/conv1/bn/var", np.stack([
+        _np(state[f"projHead.conv1.bn.{i}.running_var"]) for i in range(n_bn)
+    ]))
+    _set(params, "proj_head/conv_out/kernel",
+         _conv_w(state["projHead.conv_last.weight"]))
+    _set(params, "proj_head/conv_out/bias",
+         _np(state["projHead.conv_last.bias"]))
+
+    # per-dataset aux heads (dataset_aux_head.{i}, aux=False layout)
+    i = 0
+    while f"dataset_aux_head.{i}.conv.conv.weight" in state:
+        load_head(f"dataset_aux_head_{i}", f"dataset_aux_head.{i}",
+                  with_conv1=False)
+        i += 1
+
+    if "prototypes" in state:
+        extras["prototypes"] = _np(state["prototypes"])
+    return params, stats, extras
 
 
 def _stack_bn(state: Mapping, prefix: str, n: int):
@@ -516,6 +610,8 @@ def detect_torch_layout(sd: Mapping) -> str:
     (torchvision ImageNet), or 'bisenetv2' (reference/CoinCheung layout)."""
     if "backbone.conv1.weight" in sd and "unify_prototype" in sd:
         return "semseg"
+    if "projHead.conv_last.weight" in sd:
+        return "bisenetv2_contrast"
     if any(k.startswith("transition1.") for k in sd) or any(
         k.startswith("stage2.0.branches") for k in sd
     ):

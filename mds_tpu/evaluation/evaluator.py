@@ -27,42 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mds_tpu.models.layers import resize_bilinear_ac  # noqa: F401 — canonical home
+
 
 def get_round_size(size: Sequence[int], divisor: int = 32) -> Tuple[int, int]:
     """Round sizes up to the divisor (reference: evaluate.py:43-44)."""
     return tuple(math.ceil(el / divisor) * divisor for el in size)
-
-
-def resize_bilinear_ac(x: jax.Array, size_hw: Tuple[int, int]) -> jax.Array:
-    """Bilinear resize with align_corners=True (torch F.interpolate parity).
-
-    Output grid maps linearly onto [0, H_in-1]: src = i*(H_in-1)/(H_out-1).
-    NHWC, static shapes, gather-based.
-    """
-    b, h_in, w_in, c = x.shape
-    h_out, w_out = size_hw
-    if (h_in, w_in) == (h_out, w_out):
-        return x
-    x = x.astype(jnp.float32)
-
-    def grid(n_out, n_in):
-        if n_out == 1:
-            return jnp.zeros((1,), jnp.float32)
-        return jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1) / (n_out - 1))
-
-    ys = grid(h_out, h_in)
-    xs = grid(w_out, w_in)
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h_in - 1)
-    y1 = jnp.clip(y0 + 1, 0, h_in - 1)
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w_in - 1)
-    x1 = jnp.clip(x0 + 1, 0, w_in - 1)
-    wy = (ys - y0.astype(jnp.float32))[None, :, None, None]
-    wx = (xs - x0.astype(jnp.float32))[None, None, :, None]
-    rows0 = jnp.take(x, y0, axis=1)
-    rows1 = jnp.take(x, y1, axis=1)
-    top = jnp.take(rows0, x0, axis=2) * (1 - wx) + jnp.take(rows0, x1, axis=2) * wx
-    bot = jnp.take(rows1, x0, axis=2) * (1 - wx) + jnp.take(rows1, x1, axis=2) * wx
-    return top * (1 - wy) + bot * wy
 
 
 def confusion_hist(
@@ -359,8 +329,8 @@ def make_logits_fn(model, variables, mean, std, method=None, **method_kwargs):
 # label_link = :1464; uni = :1425 (aux_mode 'eval' with n_cats+1 hist bins);
 # unseen = :1346; clip = :1386; emb = :1560 (pred_by_emb); unlabel = :1228
 # (MscEvalV0_unlabel — logits truncated to the dataset's eval_cats);
-# dsg = :1267 (same protocol as contrast; the reference points it at the
-# stage-2 train anns — pass loaders built with stage=2 for that).
+# dsg = :1267 (same protocol as contrast over the stage-2 train anns —
+# drivers.run_evaluation builds stage=2 loaders for this mode).
 EVAL_MODES = (
     "ss", "ssc", "msf", "mscf", "contrast", "dsg", "label_link", "uni",
     "unseen", "clip", "emb", "aux", "unlabel",

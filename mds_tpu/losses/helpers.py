@@ -13,7 +13,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from mds_tpu.evaluation.evaluator import resize_bilinear_ac
+from mds_tpu.models.layers import resize_bilinear_ac
 from mds_tpu.losses.ohem_ce import cross_entropy_per_pixel, select_class
 
 

@@ -18,35 +18,125 @@ a second parameter tree updated by mds_tpu.engine.ema.ema_update.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from mds_tpu.models.bisenetv2 import BGALayer, DetailBranch, SegmentBranch
-from mds_tpu.models.layers import ConvBNReLU, MultiX, SegmentHead, as_multi, lmap
+from mds_tpu.models.layers import (
+    ConvBNReLU,
+    FastDropout,
+    MultiX,
+    as_multi,
+    lmap,
+    resize_bilinear_ac,
+    upsample,
+)
 from mds_tpu.registry import MODELS
 
 Dtype = Any
 
 
 class ProjHead(nn.Module):
-    """convmlp projection: conv3×3-BN-ReLU → 1×1 (reference proj 'convmlp' /
-    ConvNorm paths, bisenetv2_contrast.py:339-394)."""
+    """convmlp projection: conv3×3-BN-ReLU (2× width) → 1×1 → L2-normalize
+    (lib/module/projection.py:8-58 — per-dataset BN slots inside the
+    ConvBNReLU, normalization in-module per :51)."""
 
     proj_dim: int
+    n_bn: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
-        (x,) = ConvBNReLU(x.shape[-1], 3, dtype=self.dtype, name="conv1")(
-            [x], train=train
-        )
-        x = nn.Conv(self.proj_dim, (1, 1), use_bias=True, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="conv_out")(x)
+    def __call__(self, xs: MultiX, *, train: bool) -> List[Optional[jax.Array]]:
+        dim_in = next(x.shape[-1] for x in xs if x is not None)
+        xs = ConvBNReLU(2 * dim_in, 3, n_bn=self.n_bn, dtype=self.dtype,
+                        name="conv1")(xs, train=train)
+        conv_out = nn.Conv(self.proj_dim, (1, 1), use_bias=True,
+                           dtype=self.dtype, param_dtype=jnp.float32,
+                           name="conv_out")
         # embeddings are L2-normalized for the InfoNCE losses
-        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        return lmap(
+            lambda x: (lambda y: y / jnp.maximum(
+                jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-12
+            ))(conv_out(x)),
+            xs,
+        )
+
+
+class UnifiedSegmentHead(nn.Module):
+    """ONE head over the unified label space with PER-DATASET BN slots
+    (reference bisenetv2_contrast.py:339-394 SegmentHead(n_bn=n_bn) — unlike
+    the per-dataset heads of the multi-dataset BiSeNetV2, where each head
+    owns a single BN). conv3×3-BN-ReLU → dropout → [aux: up×2 →
+    conv3×3-BN-ReLU] → 1×1 (the reference's ConvNorm cosine normalisation is
+    folded out — a forward-time rescale the OHEM softmax is invariant to up
+    to temperature) → bilinear up."""
+
+    mid_chan: int
+    n_classes: int
+    up_factor: int = 8
+    aux: bool = True
+    n_bn: int = 1
+    conv_norm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: MultiX, *, train: bool) -> List[Optional[jax.Array]]:
+        xs = ConvBNReLU(self.mid_chan, 3, n_bn=self.n_bn, dtype=self.dtype,
+                        name="conv")(xs, train=train)
+        drop = FastDropout(0.1)
+        xs = lmap(lambda x: drop(x, deterministic=not train), xs)
+        factor = self.up_factor
+        if self.aux:
+            xs = lmap(lambda x: upsample(x, 2, "nearest"), xs)
+            xs = ConvBNReLU(self.up_factor * self.up_factor, 3,
+                            n_bn=self.n_bn, dtype=self.dtype,
+                            name="conv1")(xs, train=train)
+            factor = factor // 2
+        if self.conv_norm:
+            # ConvNorm cosine classifier (lib/module/ConvNorm.py:4-21):
+            # logits = (w·x) / (|w_class| · |x_pixel| + 1e-8), no bias.
+            # A 1×1 conv is an einsum — declared under 'conv_out/kernel' so
+            # the torch importer path is identical either way.
+            c_in = next(x.shape[-1] for x in xs if x is not None)
+            w = self.param(
+                "conv_out",
+                lambda key: {"kernel": nn.initializers.lecun_normal()(
+                    key, (1, 1, c_in, self.n_classes), jnp.float32)},
+            )["kernel"]
+            norm_w = jnp.linalg.norm(
+                w.reshape(c_in, self.n_classes).astype(jnp.float32), axis=0
+            )
+
+            def classify(x):
+                feat = jnp.einsum(
+                    "bhwc,co->bhwo", x,
+                    w.reshape(c_in, self.n_classes).astype(x.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                norm_x = jnp.linalg.norm(
+                    x.astype(jnp.float32), axis=-1, keepdims=True
+                )
+                return (feat / (norm_x * norm_w + 1e-8)).astype(self.dtype)
+
+            xs = lmap(classify, xs)
+        else:
+            conv_out = nn.Conv(self.n_classes, (1, 1), use_bias=True,
+                               dtype=self.dtype, param_dtype=jnp.float32,
+                               name="conv_out")
+            xs = lmap(conv_out, xs)
+        if factor > 1:
+            # the contrast-era head upsamples align_corners=True
+            # (bisenetv2_contrast.py:372 up_sample2), unlike the base model
+            xs = lmap(
+                lambda x: resize_bilinear_ac(
+                    x, (x.shape[1] * factor, x.shape[2] * factor)
+                ).astype(self.dtype),
+                xs,
+            )
+        return xs
 
 
 class WNClassifier(nn.Module):
@@ -106,18 +196,19 @@ class BiSeNetV2Contrast(nn.Module):
         self.segment = SegmentBranch(**cfg)
         self.bga = BGALayer(**cfg)
         n = self.num_unify_classes
-        self.head = SegmentHead(1024, n, up_factor=8, aux=False, dtype=self.dtype)
+        hk = dict(n_bn=self.n_bn, dtype=self.dtype)
+        self.head = UnifiedSegmentHead(1024, n, up_factor=8, aux=False, **hk)
         if self.aux:
-            self.aux2 = SegmentHead(128, n, up_factor=4, dtype=self.dtype)
-            self.aux3 = SegmentHead(128, n, up_factor=8, dtype=self.dtype)
-            self.aux4 = SegmentHead(128, n, up_factor=16, dtype=self.dtype)
-            self.aux5_4 = SegmentHead(128, n, up_factor=32, dtype=self.dtype)
-        self.proj_head = ProjHead(self.proj_dim, self.dtype)
+            self.aux2 = UnifiedSegmentHead(128, n, up_factor=4, **hk)
+            self.aux3 = UnifiedSegmentHead(128, n, up_factor=8, **hk)
+            self.aux4 = UnifiedSegmentHead(128, n, up_factor=16, **hk)
+            self.aux5_4 = UnifiedSegmentHead(128, n, up_factor=32, **hk)
+        self.proj_head = ProjHead(self.proj_dim, self.n_bn, self.dtype)
         if self.wn_classifier:
             self.wn_cls = WNClassifier(n, self.dtype)
         if self.with_dataset_aux_heads:
             self.dataset_aux_head = [
-                SegmentHead(1024, c, up_factor=8, aux=False, dtype=self.dtype)
+                UnifiedSegmentHead(1024, c, up_factor=8, aux=False, **hk)
                 for c in self.datasets_cats
             ]
 
@@ -133,18 +224,18 @@ class BiSeNetV2Contrast(nn.Module):
         stacked multi-dataset batch, plus contrast embeddings at 1/8."""
         feat_head, feats_aux = self.backbone(xs, train=train)
         out = {
-            "seg": lmap(lambda f: self.head(f, train=train), feat_head),
-            "embed": lmap(lambda f: self.proj_head(f, train=train), feat_head),
+            "seg": self.head(feat_head, train=train),
+            "embed": self.proj_head(feat_head, train=train),
         }
         if self.aux and train:
             heads = [self.aux2, self.aux3, self.aux4, self.aux5_4]
             out["aux"] = [
-                lmap(lambda f, h=h: h(f, train=train), feat)
-                for h, feat in zip(heads, feats_aux)
+                h(feat, train=train) for h, feat in zip(heads, feats_aux)
             ]
         if self.with_dataset_aux_heads:
             out["dataset_aux"] = [
-                None if f is None else self.dataset_aux_head[i](f, train=train)
+                None if f is None else self.dataset_aux_head[i](
+                    as_multi(f, i, self.n_bn), train=train)[i]
                 for i, f in enumerate(feat_head)
             ]
         return out
@@ -153,7 +244,7 @@ class BiSeNetV2Contrast(nn.Module):
         feat_head, _ = self.backbone(
             as_multi(x, dataset, self.n_bn), train=False
         )
-        return self.head(feat_head[dataset], train=False)
+        return self.head(feat_head, train=False)[dataset]
 
     def pred(self, x, dataset: int = 0):
         return jnp.argmax(self.eval_logits(x, dataset), axis=-1)
@@ -168,7 +259,7 @@ class BiSeNetV2Contrast(nn.Module):
         feat_head, _ = self.backbone(
             as_multi(x, dataset, self.n_bn), train=False
         )
-        emb = self.proj_head(feat_head[dataset], train=False)
+        emb = self.proj_head(feat_head, train=False)[dataset]
         sim = jnp.einsum(
             "bhwc,ukc->bhwuk", emb, jnp.asarray(prototypes, emb.dtype),
             preferred_element_type=jnp.float32,

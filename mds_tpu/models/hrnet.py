@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mds_tpu.evaluation.evaluator import resize_bilinear_ac
+from mds_tpu.models.layers import resize_bilinear_ac
 from mds_tpu.models.layers import ConvBN, ConvBNReLU, MultiX, lmap, lmap2
 from mds_tpu.models.semseg import proto_logits, remap_logits
 from mds_tpu.registry import MODELS

@@ -569,6 +569,37 @@ class ConvBN(ConvBNReLU):
     relu: bool = False
 
 
+def resize_bilinear_ac(x: jax.Array, size_hw: Tuple[int, int]) -> jax.Array:
+    """Bilinear resize with align_corners=True (torch F.interpolate parity).
+
+    Output grid maps linearly onto [0, H_in-1]: src = i*(H_in-1)/(H_out-1).
+    NHWC, static shapes, gather-based.
+    """
+    b, h_in, w_in, c = x.shape
+    h_out, w_out = size_hw
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    x = x.astype(jnp.float32)
+
+    def grid(n_out, n_in):
+        if n_out == 1:
+            return jnp.zeros((1,), jnp.float32)
+        return jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1) / (n_out - 1))
+
+    ys = grid(h_out, h_in)
+    xs = grid(w_out, w_in)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h_in - 1)
+    y1 = jnp.clip(y0 + 1, 0, h_in - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w_in - 1)
+    x1 = jnp.clip(x0 + 1, 0, w_in - 1)
+    wy = (ys - y0.astype(jnp.float32))[None, :, None, None]
+    wx = (xs - x0.astype(jnp.float32))[None, None, :, None]
+    rows0 = jnp.take(x, y0, axis=1)
+    rows1 = jnp.take(x, y1, axis=1)
+    top = jnp.take(rows0, x0, axis=2) * (1 - wx) + jnp.take(rows0, x1, axis=2) * wx
+    bot = jnp.take(rows1, x0, axis=2) * (1 - wx) + jnp.take(rows1, x1, axis=2) * wx
+    return top * (1 - wy) + bot * wy
+
 def upsample(x: jax.Array, factor: int, method: str = "nearest") -> jax.Array:
     """Integer-factor spatial upsample, NHWC.
 

@@ -165,7 +165,7 @@ class SemsegModel(nn.Module):
     def pred(self, x: jax.Array, dataset: int = 0):
         """aux_mode='pred' (semseg.py:346-354): remap → ×4 bilinear
         (align_corners=True) → argmax."""
-        from mds_tpu.evaluation.evaluator import resize_bilinear_ac
+        from mds_tpu.models.layers import resize_bilinear_ac
 
         logits = self.eval_logits(x, dataset)
         b, h, w, c = logits.shape

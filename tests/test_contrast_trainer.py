@@ -96,3 +96,45 @@ def test_contrast_warmup_gate(tmp_path):
     assert abs(m0["loss"] - m0["seg_loss"]) < 1e-4  # gated off
     m1 = t.step(b, it=5)
     assert m1["loss"] != m1["seg_loss"] or m1["contrast_loss"] == 0.0
+
+
+@pytest.mark.slow
+def test_contrast_trainer_num_prototype_path(tmp_path):
+    """num_prototype>1: per-pixel sinkhorn prototype assignment drives the
+    contrast term (lib/loss/loss_cross_datasets.py:135-193 path) — the
+    prototype slots update by momentum, the multi-hot seg loss takes over
+    after warmup, and prototypes ride the checkpoint."""
+    cfg = tiny_configer(use_ema=False)
+    cfg.update(["contrast", "num_prototype"], 3)
+    cfg.update(["contrast", "coefficient"], 0.9)
+    cfg.update(["network", "stride"], 8)
+    cfg.update(["train", "cropsize"], [32, 32])
+    t = ContrastTrainer(cfg, work_dir=str(tmp_path))
+    assert t.P == 3 and t.prototypes is not None
+    assert t.prototypes.shape == (6, 3, 16)
+    protos0 = np.asarray(t.prototypes).copy()
+    rng = np.random.default_rng(3)
+    b = make_batch(rng, hw=32)
+    m_warm = t.step(b, it=0)  # warmup: contrast gated off
+    assert np.isfinite(m_warm["loss"])
+    m = t.step(b, it=5)  # past warmup: sinkhorn-assigned contrast active
+    assert np.isfinite(m["loss"]) and np.isfinite(m["contrast_loss"])
+    assert m["contrast_loss"] != 0.0
+    assert "seg_mul_loss" in m and np.isfinite(m["seg_mul_loss"])
+    # momentum update moved slots that received mass
+    protos1 = np.asarray(t.prototypes)
+    assert not np.allclose(protos1, protos0)
+    # updated slots stay (approximately) unit-mixed: norms bounded
+    norms = np.linalg.norm(protos1, axis=-1)
+    assert np.all(norms < 1.5)
+
+    # prototypes round-trip through the checkpoint
+    t.save()
+    cfg2 = tiny_configer(use_ema=False)
+    cfg2.update(["contrast", "num_prototype"], 3)
+    cfg2.update(["contrast", "coefficient"], 0.9)
+    cfg2.update(["network", "stride"], 8)
+    cfg2.update(["train", "cropsize"], [32, 32])
+    t2 = ContrastTrainer(cfg2, work_dir=str(tmp_path))
+    t2.restore()
+    np.testing.assert_allclose(np.asarray(t2.prototypes), protos1)

@@ -48,11 +48,8 @@ def main():
         logger = setup_logger("mds_tpu_contrast", args.work_dir)
         trainer = ContrastTrainer(configer, work_dir=args.work_dir)
         if args.finetune_from:
-            logger.warning(
-                "--finetune-from is not supported for mode=contrast yet "
-                "(the contrast head/proj layout has no torch importer); "
-                "ignoring %s", args.finetune_from,
-            )
+            trainer.finetune_from(args.finetune_from)
+            logger.info(f"finetuning from {args.finetune_from}")
         if trainer.ckpt.latest_step() is not None:
             trainer.restore()
             logger.info(f"restored contrast ckpt at step {int(trainer.state.step)}")
