@@ -231,10 +231,16 @@ def get_data_loader(configer, mode: str = "train", rank: int = 0, world: int = 1
     for i in range(n):
         dcfg = configer.dataset_cfg(i)
         reader_cls = DATASETS[dcfg["data_reader"]]
-        ann_key = "train_im_anns" if mode == "train" else "val_im_anns"
+        # `stage` selects the curriculum TRAIN ann lists (get_dataloader.py:93)
+        # in EITHER mode: the dsg eval protocol reads the stage-2 train anns
+        # with eval transforms (reference evaluate.py:1267
+        # get_data_loader(aux_mode='train', stage=2) feeding MscEvalV0_Contrast)
+        ann_key = (
+            "train_im_anns" if (mode == "train" or stage is not None)
+            else "val_im_anns"
+        )
         ann = dcfg.get(ann_key)
-        if stage is not None and ann and mode == "train":
-            # curriculum stage ann-file suffix selection (get_dataloader.py:93)
+        if stage is not None and ann:
             ann = ann.replace(".txt", f"_{stage}.txt")
         kwargs = dict(dcfg.get("reader_kwargs", {}))
         if mode != "train":

@@ -86,18 +86,70 @@ def build_eval_bundle(configer, ckpt: Optional[str] = None,
     return tr.model, tr.variables(), info
 
 
+def recompute_bn_stats(configer, model, variables, n_batches: int,
+                       compute_dtype=jnp.bfloat16) -> dict:
+    """Precise-BN (reference lib/precise_bn.py:88 update_bn_stats +
+    train_bn.py, ablated in CamVidPreciseBN.md): replace the EMA BN running
+    stats with the TRUE average of per-batch moments, computed with frozen
+    weights over `n_batches` training batches of every dataset. Returns a
+    new variables dict with refreshed `batch_stats`."""
+    from mds_tpu.data.loader import get_data_loader
+    from mds_tpu.engine.precise_bn import update_bn_stats
+    from mds_tpu.engine.train_step import normalize_images
+    from mds_tpu.engine.trainer import dataset_stats
+
+    loader = get_data_loader(
+        configer, "train", rank=jax.process_index(), world=jax.process_count()
+    )
+    means, stds = dataset_stats(configer)
+    means = [jnp.asarray(m) for m in means]
+    stds = [jnp.asarray(s) for s in stds]
+    rng = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def fwd(variables, ims):
+        xs = normalize_images(ims, means, stds, dtype=compute_dtype)
+        _, mut = model.apply(
+            variables, xs, train=True, mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        return mut["batch_stats"]
+
+    def apply_train_fn(variables, batch):
+        return fwd(variables, [jnp.asarray(x) for x in batch["ims"]])
+
+    def batches():
+        it = iter(loader)
+        for _ in range(n_batches):
+            yield next(it)
+
+    return update_bn_stats(
+        apply_train_fn, variables, batches(), max_batches=n_batches
+    )
+
+
 def run_evaluation(configer, mode: str = "ss", ckpt: Optional[str] = None,
                    work_dir: str = "./res", compute_dtype=jnp.bfloat16,
-                   loaders=None) -> List[float]:
-    """Config → per-dataset mIoU list for any eval mode (the eval CLI body)."""
+                   loaders=None, precise_bn: int = 0) -> List[float]:
+    """Config → per-dataset mIoU list for any eval mode (the eval CLI body).
+    precise_bn > 0 recomputes the BN running stats over that many train
+    batches before evaluating (train_bn.py workflow)."""
     from mds_tpu.data.loader import get_data_loader
 
     model, variables, info = build_eval_bundle(
         configer, ckpt=ckpt, work_dir=work_dir, compute_dtype=compute_dtype
     )
+    if precise_bn > 0:
+        variables = recompute_bn_stats(
+            configer, model, variables, precise_bn, compute_dtype=compute_dtype
+        )
     if loaders is None:
+        # dsg evaluates the stage-2 TRAIN annotation lists (reference
+        # evaluate.py:1267: get_data_loader(aux_mode='train', stage=2))
         loaders = get_data_loader(
-            configer, "eval", rank=jax.process_index(), world=jax.process_count()
+            configer, "eval", rank=jax.process_index(),
+            world=jax.process_count(),
+            stage=2 if mode == "dsg" else None,
         )
     method_kwargs = (
         {"prototypes": info["prototypes"]} if mode == "emb" and "prototypes" in info

@@ -207,3 +207,69 @@ def test_alternating_cli_resume(tmp_path):
     m = t2.step(make_batch(rng))
     assert np.isfinite(m["loss"])
     assert t2.total_iter == 4
+
+
+def test_dsg_eval_reads_stage2_train_anns(tmp_path, monkeypatch):
+    """dsg protocol = contrast eval over the STAGE-2 TRAIN ann lists
+    (reference evaluate.py:1267 builds get_data_loader(aux_mode='train',
+    stage=2)). Loader level: stage=2 + mode='eval' must read train_2.txt;
+    driver level: run_evaluation(mode='dsg') must request stage=2."""
+    import os
+    import shutil
+
+    from mds_tpu.data.loader import get_data_loader
+
+    ref_im = "/root/reference/lib/test/test_leftImg8bit.png"
+    ref_lb = "/root/reference/lib/test/test_labelIds.png"
+    if not (os.path.exists(ref_im) and os.path.exists(ref_lb)):
+        pytest.skip("reference fixtures absent")
+    root = tmp_path / "ds"
+    root.mkdir()
+    shutil.copy(ref_im, root / "im.png")
+    shutil.copy(ref_lb, root / "lb.png")
+    (tmp_path / "train.txt").write_text("missing.png,missing.png\n")
+    (tmp_path / "train_2.txt").write_text("im.png,lb.png\n")
+    (tmp_path / "val.txt").write_text("missing.png,missing.png\n")
+
+    cfg = Configer(configs={
+        "model_name": "snp_rn18",
+        "n_datasets": 1,
+        "dataset1": {
+            "n_cats": 19, "ims_per_gpu": 1, "data_reader": "CityScapes",
+            "im_root": str(root),
+            "train_im_anns": str(tmp_path / "train.txt"),
+            "val_im_anns": str(tmp_path / "val.txt"),
+        },
+        "train": {"cropsize": [32, 32]},
+    })
+    loaders = get_data_loader(cfg, "eval", stage=2)
+    batches = list(loaders[0])
+    assert len(batches) == 1  # train_2.txt has exactly the fixture line
+    im, lb = batches[0].im, batches[0].lb
+    assert im.shape[-1] == 3 and lb.ndim >= 2
+
+    # driver wiring: run_evaluation(mode='dsg') builds stage=2 loaders
+    import mds_tpu.data.loader as loader_mod
+    from mds_tpu.evaluation import drivers
+
+    seen = {}
+    real = loader_mod.get_data_loader
+
+    def spy(configer, mode="train", **kw):
+        seen["mode"] = mode
+        seen["stage"] = kw.get("stage")
+        return real(configer, mode, **kw)
+
+    monkeypatch.setattr(loader_mod, "get_data_loader", spy)
+    monkeypatch.setattr(
+        drivers, "build_eval_bundle",
+        lambda *a, **k: (None, None, {}),
+    )
+    monkeypatch.setattr(
+        drivers, "eval_model",
+        lambda *a, **k: [0.0],
+    )
+    drivers.run_evaluation(cfg, mode="dsg")
+    assert seen == {"mode": "eval", "stage": 2}
+    drivers.run_evaluation(cfg, mode="ss")
+    assert seen == {"mode": "eval", "stage": None}

@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
     ap.add_argument("--mode", default="ss", choices=list(EVAL_MODES))
     ap.add_argument("--work-dir", default="./res")
+    ap.add_argument(
+        "--precise-bn", type=int, default=0, metavar="N",
+        help="recompute BN running stats over N train batches before eval "
+             "(reference train_bn.py / lib/precise_bn.py, CamVidPreciseBN.md)",
+    )
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -38,7 +43,8 @@ def main():
     maybe_initialize_distributed()
     configer = Configer(config_file=args.config, args_parser=args.overrides)
     mious = run_evaluation(
-        configer, mode=args.mode, ckpt=args.ckpt, work_dir=args.work_dir
+        configer, mode=args.mode, ckpt=args.ckpt, work_dir=args.work_dir,
+        precise_bn=args.precise_bn,
     )
     for i, miou in enumerate(mious):
         print(f"dataset{i + 1} mIoU ({args.mode}): {miou:.4f}")
