@@ -33,6 +33,12 @@ sys.path.insert(0, ".")
 T4_V2_FP16_FPS = 59.0  # reference README.md:10
 T4_V1_FP16_FPS = 68.0  # reference README.md:9
 R2_TRAIN_IMGS_PER_SEC = 97.8  # r2 measured value (PARITY.md) — regression pin
+# r4 pre-optimization flagship measurements (tools/bench_flagship_train.py,
+# 3-dataset recipe 768×768 bs12) — regression pins; see README perf table
+R4_FLAGSHIP_BASE = {
+    "flagship_seg_imgs_per_sec": 53.73,  # measured 2026-08-19 pre-fold
+    "flagship_gnn_steps_per_sec": 6.44,
+}
 
 
 def _median3(run_once) -> tuple:
@@ -202,6 +208,42 @@ def bench_train(fused_up_loss: bool = False, quiet: bool = False):
     return ips, runs
 
 
+def check_hw_dropout():
+    """Assert the hardware-PRNG Pallas dropout kernel's numerics ON THE REAL
+    CHIP every round (VERDICT r3 next #10 — the pytest battery skips it off
+    TPU): mask rate, unbiased scale, fixed-seed determinism, and the
+    backward's mask-regeneration identity."""
+    from mds_tpu.ops.pallas.dropout import dropout_u8_pallas
+
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        return "skipped (no TPU)"
+    rate = 0.1
+    seed = jnp.asarray([3, 1], jnp.int32)
+    x = jnp.ones((512, 2048), jnp.bfloat16)
+    y = dropout_u8_pallas(x, seed, rate)
+    kept = float(jnp.count_nonzero(y)) / x.size
+    assert abs(kept - (1 - rate)) < 0.01, f"mask rate off: kept={kept}"
+    mean = float(jnp.mean(y.astype(jnp.float32)))
+    assert abs(mean - 1.0) < 0.02, f"scale biased: mean={mean}"
+    y2 = dropout_u8_pallas(x, seed, rate)
+    assert bool(jnp.all(y == y2)), "fixed seed not deterministic"
+    g = jax.grad(lambda v: dropout_u8_pallas(v, seed, rate).sum())(x)
+    same = bool(jnp.all((g != 0) == (y != 0)))
+    assert same, "backward mask differs from forward"
+    return "ok"
+
+
+def bench_flagship():
+    """Flagship (snp_rn18+BGNN) SEG-stage train throughput + GNN step rate
+    (VERDICT r3 next #2 — driver-tracked every round). Reuses the focused
+    tool's harness on the shipped 3-dataset recipe."""
+    sys.path.insert(0, "tools")
+    import importlib
+
+    mod = importlib.import_module("bench_flagship_train")
+    return mod.run(iters=6)
+
+
 def main():
     fps, runs = bench_v2_infer()
     record = {
@@ -238,6 +280,23 @@ def main():
             "vs_baseline": round(value / base, 3),
             "runs": vruns,
         })
+    # flagship (snp_rn18 + BGNN) stage steps — the centerpiece workload
+    # (VERDICT r3 next #2); vs_baseline pinned to the r4 pre-optimization
+    # measurement so regressions are visible
+    jax.clear_caches()
+    try:
+        for rec in bench_flagship():
+            base = R4_FLAGSHIP_BASE.get(rec["metric"])
+            if base:
+                rec["vs_baseline"] = round(rec["value"] / base, 3)
+            extras.append(rec)
+    except Exception as e:
+        print(f"# flagship bench failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+    try:
+        record["hw_dropout_check"] = check_hw_dropout()
+    except Exception as e:
+        record["hw_dropout_check"] = f"FAILED: {e}"
     record["extra_metrics"] = extras
     print(json.dumps(record))
 

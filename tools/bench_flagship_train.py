@@ -29,28 +29,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="configs/ltbgnn_3_datasets_snp.json")
-    ap.add_argument("--iters", type=int, default=8)
-    ap.add_argument(
-        "--tiny", action="store_true",
-        help="64×64 crop, bs1 — CPU smoke test of the bench itself",
-    )
-    ap.add_argument(
-        "--cpu", action="store_true",
-        help="force the CPU backend (sitecustomize pins the tunnel TPU "
-        "platform; the env var alone does not override it)",
-    )
-    args = ap.parse_args()
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-
+def run(config: str = "configs/ltbgnn_3_datasets_snp.json",
+        iters: int = 8, tiny: bool = False):
+    """Build + time both flagship stage steps; returns the metric dicts.
+    Importable (bench.py reuses it for the driver-tracked record)."""
     from mds_tpu.config import Configer
     from mds_tpu.engine.gnn_trainer import AlternatingTrainer
 
-    configer = Configer(config_file=args.config)
-    if args.tiny:
+    configer = Configer(config_file=config)
+    if tiny:
         configer.update(("train", "cropsize"), [64, 64])
         for i in range(configer.n_datasets):
             configer.update((f"dataset{i + 1}", "ims_per_gpu"), 1)
@@ -76,7 +63,7 @@ def main():
         lb4 = rng.integers(0, c, (b, crop[0] // 4, crop[1] // 4))
         lbs.append(jnp.asarray(np.repeat(np.repeat(lb4, 4, 1), 4, 2), jnp.uint8))
 
-    n_iters = args.iters
+    n_iters = iters
     key = jax.random.PRNGKey(0)
 
     def fetch(tree):  # force a device→host read (tunnel-honest timing)
@@ -101,14 +88,14 @@ def main():
         return jax.lax.fori_loop(0, n_iters, body, state).params
 
     sps, runs = timed(seg_loop, t.seg_state)
-    print(json.dumps({
+    records = [{
         "metric": "flagship_seg_imgs_per_sec",
         "value": round(sps * sum(bs), 2),
         "unit": "imgs/s/chip",
         "steps_per_sec": round(sps, 3),
         "global_batch": sum(bs),
         "runs": [round(r * sum(bs), 2) for r in runs],
-    }), flush=True)
+    }]
 
     # --- GNN stage step (frozen-seg features fwd + GNN backward) ----------
     @jax.jit
@@ -117,19 +104,41 @@ def main():
             st, _ = t._gnn_step(
                 st, t.seg_state, t.seg_buffers, t.node_features, ims, lbs,
                 jax.random.fold_in(key, i), jnp.float32(0.5), jnp.float32(1.0),
+                jnp.float32(1.0),
             )
             return st
 
         return jax.lax.fori_loop(0, n_iters, body, state).params
 
     gps, runs = timed(gnn_loop, t.gnn_state)
-    print(json.dumps({
+    records.append({
         "metric": "flagship_gnn_steps_per_sec",
         "value": round(gps, 3),
         "unit": "steps/s/chip",
         "global_batch": sum(bs),
         "runs": [round(r, 3) for r in runs],
-    }), flush=True)
+    })
+    return records
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="configs/ltbgnn_3_datasets_snp.json")
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument(
+        "--tiny", action="store_true",
+        help="64×64 crop, bs1 — CPU smoke test of the bench itself",
+    )
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (sitecustomize pins the tunnel TPU "
+        "platform; the env var alone does not override it)",
+    )
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    for rec in run(config=args.config, iters=args.iters, tiny=args.tiny):
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
