@@ -62,6 +62,13 @@ class SemsegModel(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     mulbn: bool = False
+    # backbone-size knobs (defaults = the reference resnet18 trunk); the
+    # non-default values exist for tiny smoke/dryrun models only — see
+    # __graft_entry__._dryrun_flagship
+    backbone_layers: Sequence[int] = (2, 2, 2, 2)
+    backbone_planes: Sequence[int] = (64, 128, 256, 512)
+    backbone_features: int = 128
+    pyramid_levels: int = 3
 
     @property
     def total_cats(self) -> int:
@@ -74,6 +81,15 @@ class SemsegModel(nn.Module):
     @classmethod
     def from_configer(cls, configer, dtype=jnp.float32, **kw):
         n = configer.n_datasets
+        bk = {}
+        for key, field in (("layers", "backbone_layers"),
+                           ("planes", "backbone_planes"),
+                           ("num_features", "backbone_features"),
+                           ("pyramid_levels", "pyramid_levels")):
+            v = configer.get("backbone", key, default=None)
+            if v is not None:
+                bk[field] = tuple(v) if isinstance(v, (list, tuple)) else int(v)
+        bk.update(kw)
         return cls(
             datasets_cats=tuple(configer.n_cats(i) for i in range(n)),
             output_feat_dim=int(configer.get("GNN", "output_feat_dim", default=512)),
@@ -82,16 +98,19 @@ class SemsegModel(nn.Module):
                 configer.get("loss", "with_datasets_aux", default=False)
             ),
             dtype=dtype,
-            **kw,
+            **bk,
         )
 
     def setup(self):
         self.backbone = SwiftNetPyramid(
+            layers=self.backbone_layers, planes=self.backbone_planes,
+            num_features=self.backbone_features,
+            pyramid_levels=self.pyramid_levels,
             dtype=self.dtype, remat=self.remat, mulbn=self.mulbn,
             n_datasets=len(self.datasets_cats),
         )
         self.head_bn = SharedListBN(
-            128, 1, dtype=self.dtype, per_dataset=self.mulbn,
+            self.backbone_features, 1, dtype=self.dtype, per_dataset=self.mulbn,
             n_datasets=len(self.datasets_cats), name="logits_bn",
         )
         self.head_conv = nn.Conv(

@@ -296,6 +296,9 @@ class SwiftNetPyramid(nn.Module):
     layers: Sequence[int] = (2, 2, 2, 2)
     num_features: int = 128
     pyramid_levels: int = 3
+    # stage widths; non-default values are for tiny smoke/dryrun models only
+    # (the reference resnet18 trunk is fixed at 64/128/256/512)
+    planes: Sequence[int] = (64, 128, 256, 512)
     dtype: Dtype = jnp.float32
     remat: bool = False
     mulbn: bool = False
@@ -311,6 +314,7 @@ class SwiftNetPyramid(nn.Module):
         fuse7 = (
             not train and _STEM_IMPL == "pallas"
             and self.dtype == jnp.bfloat16 and not self.mulbn
+            and self.planes[0] == 64
             and all(
                 x is None
                 or (x.shape[-1] == 3 and x.shape[1] % 2 ** lvls == 0
@@ -324,14 +328,15 @@ class SwiftNetPyramid(nn.Module):
             # models/resnet.py — XLA lane-starves this conv)
             k7 = _ConvKernelHolder((7, 7, 3, 64), name="conv1")()
         else:
-            conv1 = nn.Conv(64, (7, 7), strides=2, padding=[(3, 3)] * 2,
+            conv1 = nn.Conv(self.planes[0], (7, 7), strides=2,
+                            padding=[(3, 3)] * 2,
                             use_bias=False, dtype=self.dtype,
                             param_dtype=jnp.float32, kernel_init=conv_init(),
                             name="conv1")
-        bn1 = SharedListBN(64, lvls, dtype=self.dtype,
+        bn1 = SharedListBN(self.planes[0], lvls, dtype=self.dtype,
                            per_dataset=self.mulbn, n_datasets=self.n_datasets,
                            name="bn1")
-        planes = [64, 128, 256, 512]
+        planes = list(self.planes)
         blocks = []
         block_cls = BasicBlock
         if self.remat:
