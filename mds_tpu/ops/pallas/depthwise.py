@@ -110,7 +110,7 @@ def _pick(h_out: int, w_bytes_per_row_in: int, w_bytes_per_row_out: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _wgrad_taps(dy_ref, out_ref, *, th, w_out, cb, mult, rc, tap_chunk):
+def _wgrad_taps(dy_ref, out_ref, *, th, cb, mult, rc, tap_chunk):
     """Accumulate gw rows over this block in row chunks of rc.
 
     Every intermediate is rank-3 (rc, Wo, C) — lane dim C, sublane dim Wo —
@@ -152,7 +152,7 @@ def _wgrad_s1(x_ref, dy_ref, out_ref, *, th, w_out, cb, mult, rc):
     def tap_chunk(ky, kx, r0):  # x block (1, 1, th+2, W+2, C)
         return x_ref[0, 0, pl.ds(r0 + ky, rc), pl.ds(kx, w_out), :]
 
-    _wgrad_taps(dy_ref, out_ref, th=th, w_out=w_out, cb=cb, mult=mult,
+    _wgrad_taps(dy_ref, out_ref, th=th, cb=cb, mult=mult,
                 rc=rc, tap_chunk=tap_chunk)
 
 
@@ -164,7 +164,7 @@ def _wgrad_s2(p00, p01, p10, p11, dy_ref, out_ref, *, th, w_out, cb, mult,
         pr = planes[ky % 2][kx % 2]
         return pr[0, 0, pl.ds(r0 + ky // 2, rc), pl.ds(kx // 2, w_out), :]
 
-    _wgrad_taps(dy_ref, out_ref, th=th, w_out=w_out, cb=cb, mult=mult,
+    _wgrad_taps(dy_ref, out_ref, th=th, cb=cb, mult=mult,
                 rc=rc, tap_chunk=tap_chunk)
 
 

@@ -23,18 +23,9 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
-from test_reference_parity import DictConfiger  # noqa: E402
+from test_reference_parity import DictConfiger, _stub  # noqa: E402
 
 REF = "/root/reference"
-
-
-def _stub(name: str, **attrs):
-    if name in sys.modules:
-        return
-    mod = types.ModuleType(name)
-    for k, v in attrs.items():
-        setattr(mod, k, v)
-    sys.modules[name] = mod
 
 
 @pytest.fixture(scope="module")

@@ -16,7 +16,6 @@ Reference: evaluate.py:43-99 (MscEvalV0), :100-192 (MscEvalV0_Contrast).
 
 import importlib.util
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -25,19 +24,13 @@ torch = pytest.importorskip("torch")
 
 from test_reference_parity import (  # noqa: E402
     DictConfiger,
+    _stub,
     import_ref_package_module,
     load_flat_module,
     randomize_state,
 )
 
 REF = "/root/reference"
-
-
-def _stub(name: str, **attrs):
-    mod = types.ModuleType(name)
-    for k, v in attrs.items():
-        setattr(mod, k, v)
-    sys.modules[name] = mod
 
 
 @pytest.fixture(scope="module")

