@@ -33,7 +33,7 @@ from typing import Any, Dict, List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from mds_tpu.models.layers import resize_bilinear_ac
+from mds_tpu.models.layers import resize_bilinear_ac, resize_bilinear_ac_mm
 from mds_tpu.losses.ohem_ce import MdsOhemCELoss, OhemCELoss, cross_entropy_per_pixel
 from mds_tpu.models.semseg import proto_logits, remap_logits
 
@@ -106,7 +106,9 @@ class CrossDatasetsCELossAdvGNN:
             else:
                 rl = remap_logits(lg, graphs[i])
             b, h, w, c = rl.shape
-            rl = resize_bilinear_ac(rl, (h * upscale, w * upscale))
+            # MXU two-tap-matrix resize: the gather lowering of the ac=True
+            # upsample was ~25% of the flagship SEG step (r5 profile)
+            rl = resize_bilinear_ac_mm(rl, (h * upscale, w * upscale))
             logits_list.append(rl)
             labels_list.append(lb.astype(jnp.int32))
         return self.mds_ohem(logits_list, labels_list)
@@ -218,7 +220,7 @@ class CrossDatasetsCELossAdvGNN:
                     continue
                 al = aux_logits[i]
                 b, h, w, c = al.shape
-                al = resize_bilinear_ac(
+                al = resize_bilinear_ac_mm(
                     al, (targets[i].shape[1], targets[i].shape[2])
                 )
                 aux_total = aux_total + self.ohem(al, targets[i].astype(jnp.int32))

@@ -19,6 +19,7 @@ Conventions: layout NHWC; params float32; compute dtype configurable
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import jax
@@ -599,6 +600,53 @@ def resize_bilinear_ac(x: jax.Array, size_hw: Tuple[int, int]) -> jax.Array:
     top = jnp.take(rows0, x0, axis=2) * (1 - wx) + jnp.take(rows0, x1, axis=2) * wx
     bot = jnp.take(rows1, x0, axis=2) * (1 - wx) + jnp.take(rows1, x1, axis=2) * wx
     return top * (1 - wy) + bot * wy
+
+@functools.lru_cache(maxsize=64)
+def _ac_tap_matrix(n_out: int, n_in: int):
+    """Dense (n_out, n_in) f32 interpolation matrix for align_corners=True:
+    exactly two taps per row (y0, y0+1) with weights (1−w, w)."""
+    import numpy as np
+
+    if n_out == 1 or n_in == 1:
+        a = np.zeros((n_out, n_in), np.float32)
+        a[:, 0] = 1.0
+        return a
+    # f32 coordinate math, matching resize_bilinear_ac's on-device grid()
+    ys = np.arange(n_out, dtype=np.float32) * np.float32(
+        (n_in - 1) / (n_out - 1)
+    )
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, n_in - 1)
+    y1 = np.minimum(y0 + 1, n_in - 1)
+    w = (ys - y0.astype(np.float32)).astype(np.float32)
+    a = np.zeros((n_out, n_in), np.float32)
+    np.add.at(a, (np.arange(n_out), y0), 1.0 - w)
+    np.add.at(a, (np.arange(n_out), y1), w)
+    return a
+
+
+def resize_bilinear_ac_mm(x: jax.Array, size_hw: Tuple[int, int]) -> jax.Array:
+    """align_corners=True bilinear resize as two dense matmuls (NHWC, f32).
+
+    Numerically ≡ resize_bilinear_ac (each interp matrix row has exactly two
+    non-zeros; the other products are exact zeros, so HIGHEST-precision f32
+    accumulation reproduces the two-tap blend to f32 rounding) but runs on
+    the MXU instead of XLA's dynamic-gather lowering — profiled r5, the
+    flagship SEG step spent ~25% of its time in the gather fusions + layout
+    copies of the six ×4 loss upsamples (f32[768,4,768,C] volumes)."""
+    b, h, w, c = x.shape
+    h_out, w_out = size_hw
+    if (h, w) == (h_out, w_out):
+        return x
+    x = x.astype(jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    if h != h_out:
+        ah = jnp.asarray(_ac_tap_matrix(h_out, h))
+        x = jnp.einsum("oh,bhwc->bowc", ah, x, precision=hi)
+    if w != w_out:
+        aw = jnp.asarray(_ac_tap_matrix(w_out, w))
+        x = jnp.einsum("pw,bowc->bopc", aw, x, precision=hi)
+    return x
+
 
 def upsample(x: jax.Array, factor: int, method: str = "nearest") -> jax.Array:
     """Integer-factor spatial upsample, NHWC.

@@ -36,6 +36,35 @@ def test_resize_ac_matches_torch():
         np.testing.assert_allclose(got, want, atol=1e-4), size
 
 
+def test_resize_ac_mm_matches_gather_and_torch():
+    """resize_bilinear_ac_mm (MXU two-tap-matrix form, the flagship loss's
+    hot path) ≡ resize_bilinear_ac to f32 rounding — values AND gradients —
+    and matches torch ac=True interpolate."""
+    from mds_tpu.models.layers import resize_bilinear_ac_mm
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1, (2, 13, 17, 4)).astype(np.float32)
+    xj = jnp.asarray(x)
+    for size in [(52, 68), (26, 34), (7, 9), (13, 17), (1, 9)]:
+        got = np.asarray(resize_bilinear_ac_mm(xj, size))
+        base = np.asarray(resize_bilinear_ac(xj, size))
+        np.testing.assert_allclose(got, base, atol=2e-6)
+        want = (
+            F.interpolate(
+                torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+                size=size, mode="bilinear", align_corners=True,
+            ).numpy().transpose(0, 2, 3, 1)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-4)
+    # gradient parity through a nonlinear reduction (CE-like)
+    f = lambda fn: lambda v: jnp.sum(
+        jax.nn.logsumexp(fn(v, (26, 34)), axis=-1)
+    )
+    ga = jax.grad(f(resize_bilinear_ac))(xj)
+    gb = jax.grad(f(resize_bilinear_ac_mm))(xj)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=2e-5)
+
+
 def test_confusion_hist_matches_bincount():
     rng = np.random.default_rng(1)
     n = 5
