@@ -233,6 +233,64 @@ def check_hw_dropout():
     return "ok"
 
 
+def check_hw_kernels():
+    """Assert the money kernels' numerics ON THE REAL CHIP every round
+    (VERDICT r4 next #7): the headline FPS rides on the Pallas stem /
+    fused-StemBlock / detail-fusion kernels (BiSeNetV2) and the 7×7 stem
+    kernel (BiSeNetV1), whose pytest parity runs CPU-interpret only. Runs
+    each deploy graph fused and plain on one random frame and checks
+    logits (relative max-abs-diff, bf16 budget) + argmax agreement."""
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        return "skipped (no TPU)"
+    from mds_tpu.models.bisenetv1 import BiSeNetV1
+    from mds_tpu.models.bisenetv2 import BiSeNetV2
+    from mds_tpu.models.layers import set_detail_fuse, set_stem_impl
+
+    H, W = 512, 1024
+    mean = jnp.asarray([0.3257, 0.3690, 0.3223], jnp.float32)
+    std = jnp.asarray([0.2112, 0.2148, 0.2115], jnp.float32)
+    im = jnp.asarray(
+        np.random.default_rng(7).integers(0, 256, (1, H, W, 3)), jnp.uint8
+    )
+
+    def logits_fn(model):
+        def fn(v, im_u8):
+            x = im_u8.astype(jnp.float32) / 255.0
+            x = (x - mean.reshape(1, 1, 1, 3)) / std.reshape(1, 1, 1, 3)
+            return model.apply(v, x, dataset=0, method=model.eval_logits)
+
+        return fn
+
+    for name, model in (
+        ("v2", BiSeNetV2(n_classes=(19,), n_bn=1, aux=False,
+                         dtype=jnp.bfloat16)),
+        ("v1", BiSeNetV1(n_classes=(19,), aux=False, dtype=jnp.bfloat16)),
+    ):
+        x0 = jnp.zeros((1, H, W, 3), jnp.float32)
+        variables = jax.jit(
+            lambda k, m=model: m.init({"params": k}, [x0], train=False)
+        )(jax.random.PRNGKey(0))
+        fn = logits_fn(model)
+        plain = np.asarray(jax.jit(fn)(variables, im), np.float32)
+        set_stem_impl("pallas")
+        if name == "v2":
+            set_detail_fuse(True)
+        try:
+            fused = np.asarray(
+                jax.jit(lambda v, i: fn(v, i))(variables, im), np.float32
+            )
+        finally:
+            set_detail_fuse(False)
+            set_stem_impl("plain")
+        rel = np.abs(fused - plain).max() / max(np.abs(plain).max(), 1.0)
+        agree = float(
+            (fused.argmax(-1) == plain.argmax(-1)).mean()
+        )
+        assert rel < 2e-2, f"{name}: rel max diff {rel}"
+        assert agree > 0.995, f"{name}: argmax agreement {agree}"
+    return "ok"
+
+
 def bench_flagship():
     """Flagship (snp_rn18+BGNN) SEG-stage train throughput + GNN step rate
     (VERDICT r3 next #2 — driver-tracked every round). Reuses the focused
@@ -297,6 +355,11 @@ def main():
         record["hw_dropout_check"] = check_hw_dropout()
     except Exception as e:
         record["hw_dropout_check"] = f"FAILED: {e}"
+    jax.clear_caches()
+    try:
+        record["hw_kernel_check"] = check_hw_kernels()
+    except Exception as e:
+        record["hw_kernel_check"] = f"FAILED: {e}"
     record["extra_metrics"] = extras
     print(json.dumps(record))
 
