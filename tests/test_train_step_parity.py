@@ -230,3 +230,128 @@ def test_bisenetv2_train_step_parity(frame, ref_ohem, monkeypatch):
         want = flat_ref[jax.tree_util.keystr(path)]
         np.testing.assert_allclose(np.asarray(v), want, atol=2e-4, rtol=2e-3,
                                    err_msg=jax.tree_util.keystr(path))
+
+
+@pytest.mark.slow
+def test_bisenetv2_training_dynamics_50_steps(frame, ref_ohem, monkeypatch):
+    """Multi-step training-dynamics golden (VERDICT r4 next #6): 50 full
+    train steps on the fixture batch, torch (reference train_amp loop:
+    optim.step + WarmupPolyLrScheduler.step, tools/train_amp.py:218-291)
+    vs our jitted step with sgd_param_groups(warmup_poly_lr). Catches
+    LR-schedule off-by-one, momentum/wd and BN-momentum drift that
+    single-step parity can't."""
+    import optax
+
+    import mds_tpu.models.layers as layers_mod
+    from mds_tpu.deploy.torch_import import bisenetv2_from_torch
+    from mds_tpu.engine.lr_schedule import warmup_poly_lr
+    from mds_tpu.engine.optim import sgd_param_groups
+    from mds_tpu.engine.train_step import init_train_state, make_seg_train_step
+    from mds_tpu.models.bisenetv2 import BiSeNetV2
+
+    N, WARM = 50, 5
+    ims, lbs = frame
+
+    # ---------------- torch side ------------------------------------------
+    ref = load_flat_module("lib/models/bisenetv2.py", "ref_bisenetv2")
+    sched_mod = load_flat_module("lib/lr_scheduler.py", "ref_lr_scheduler")
+    torch.manual_seed(0)
+    net = ref.BiSeNetV2(19, "train", 1)
+    sd0 = {k: v.clone() for k, v in randomize_state(net, seed=23).items()}
+    for m in net.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    net.train()
+    x = ims.astype(np.float32) / 255.0
+    x = (x - CITY_MEAN.reshape(1, 1, 1, 3)) / CITY_STD.reshape(1, 1, 1, 3)
+    tx_im = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    tlb = torch.from_numpy(lbs.astype(np.int64))
+    crit = ref_ohem(0.7)
+    optim = torch.optim.SGD(_torch_groups(net), lr=LR, momentum=MOM,
+                            weight_decay=WD)
+    sched = sched_mod.WarmupPolyLrScheduler(
+        optim, power=0.9, max_iter=N, warmup_iter=WARM
+    )
+    t_losses, t_lrs = [], []
+    for _ in range(N):
+        optim.zero_grad()
+        logits, *logits_aux = net(tx_im, 0)
+        loss = crit(logits[0], tlb) + sum(crit(a[0], tlb) for a in logits_aux)
+        loss.backward()
+        t_lrs.append(float(optim.param_groups[0]["lr"]))
+        optim.step()
+        sched.step()
+        t_losses.append(float(loss))
+    t_params_final, t_stats_final = bisenetv2_from_torch(
+        {k: v.detach().clone() for k, v in net.state_dict().items()},
+        n_bn=1, aux=True,
+    )
+
+    # ---------------- jax side --------------------------------------------
+    params0, stats0 = bisenetv2_from_torch(sd0, n_bn=1, aux=True)
+    monkeypatch.setattr(
+        layers_mod, "FastDropout",
+        lambda rate: (lambda x, deterministic=True: x),
+    )
+    model = BiSeNetV2(n_classes=(19,), n_bn=1)
+    sched_j = warmup_poly_lr(LR, 0.9, N, warmup_iter=WARM)
+    tx = sgd_param_groups(sched_j, momentum=MOM, weight_decay=WD)
+    from mds_tpu.engine.train_state import TrainState
+
+    state = TrainState(
+        params=jax.tree_util.tree_map(jnp.asarray, params0),
+        batch_stats=jax.tree_util.tree_map(jnp.asarray, stats0),
+        opt_state=tx.init(params0),
+        step=jnp.asarray(0, jnp.int32),
+    )
+    step = make_seg_train_step(
+        model, tx, [CITY_MEAN], [CITY_STD],
+        compute_dtype=jnp.float32, donate=False,
+    )
+    j_losses = []
+    key = jax.random.PRNGKey(0)
+    for i in range(N):
+        state, metrics = step(state, [jnp.asarray(ims)], [jnp.asarray(lbs)],
+                              key)
+        j_losses.append(float(metrics["loss"]))
+
+    # 1) LR schedule values agree at every step (torch records pre-step lr)
+    j_lrs = [float(sched_j(i)) for i in range(N)]
+    np.testing.assert_allclose(j_lrs, t_lrs, rtol=1e-5)
+
+    # 2) loss trajectory: tight early, tolerance grows with compounding
+    # f32 rounding; and training actually learns on both sides
+    diffs = np.abs(np.asarray(j_losses) - np.asarray(t_losses))
+    rel = diffs / np.maximum(np.abs(t_losses), 1.0)
+    assert rel[:10].max() < 2e-3, (rel[:10].max(), j_losses[:10], t_losses[:10])
+    assert rel.max() < 3e-2, (rel.argmax(), rel.max())
+    assert t_losses[-1] < t_losses[0] and j_losses[-1] < j_losses[0]
+
+    # 3) final params still aligned after 50 coupled steps
+    va = np.concatenate([np.asarray(l, np.float64).ravel()
+                         for l in jax.tree_util.tree_leaves(state.params)])
+    vb = np.concatenate([np.asarray(l, np.float64).ravel()
+                         for l in jax.tree_util.tree_leaves(t_params_final)])
+    cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb) + 1e-30)
+    assert cos > 0.9999, cos
+
+    # 4) final BN running stats (50 momentum-0.1 updates compounded).
+    # Backbone stats average over full feature maps — tight per-element
+    # check. The aux heads see tiny spatial extents (aux5_4 norms over
+    # 2×4×8 samples at this fixture size) so their stats amplify the
+    # params' own f32 drift chaotically — check those by relative L2.
+    # A momentum-accounting bug (0.9-vs-0.1) diverges by O(1) everywhere.
+    flat_ref = dict(
+        (jax.tree_util.keystr(p), np.asarray(v))
+        for p, v in jax.tree_util.tree_leaves_with_path(t_stats_final)
+    )
+    for path, v in jax.tree_util.tree_leaves_with_path(state.batch_stats):
+        key = jax.tree_util.keystr(path)
+        want = flat_ref[key]
+        got = np.asarray(v)
+        if "aux" in key or "head" in key:
+            rel = np.linalg.norm(got - want) / (np.linalg.norm(want) + 1e-6)
+            assert rel < 0.25, (key, rel)
+        else:
+            np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2,
+                                       err_msg=key)
