@@ -88,30 +88,40 @@ class CrossDatasetsCELossAdvGNN:
         (M ≈ 450 on the 7-dataset recipe, the largest tensor of the flagship
         step) is never materialized and the dominant matmul shrinks M→n_i
         per dataset. Exact (reassociation only); the reference computes the
-        unfused pair (loss_cross_datasets.py:996-1007 over semseg.py:325)."""
-        logits_list, labels_list = [], []
-        for i, (lg, lb) in enumerate(zip(feats_or_logits, targets)):
-            if lg is None:
-                continue
-            if proto is not None:
-                # (f·Pᵀ)·Gᵀ ≡ f·(Pᵀ·Gᵀ): P is (M, D), G is (n_i, M)
-                fold = jnp.einsum(
-                    "md,cm->dc", proto.astype(jnp.float32),
-                    graphs[i].astype(jnp.float32),
-                )
-                rl = jnp.einsum(
-                    "bhwd,dc->bhwc", lg, fold.astype(lg.dtype),
-                    preferred_element_type=jnp.float32,
-                )
-            else:
-                rl = remap_logits(lg, graphs[i])
-            b, h, w, c = rl.shape
-            # MXU two-tap-matrix resize: the gather lowering of the ac=True
-            # upsample was ~25% of the flagship SEG step (r5 profile)
-            rl = resize_bilinear_ac_mm(rl, (h * upscale, w * upscale))
-            logits_list.append(rl)
-            labels_list.append(lb.astype(jnp.int32))
-        return self.mds_ohem(logits_list, labels_list)
+        unfused pair (loss_cross_datasets.py:996-1007 over semseg.py:325).
+
+        The whole remap→upsample→OHEM region runs under jax.checkpoint:
+        without it the full-res f32 remap volumes are saved as CE-backward
+        residuals and the 7-dataset recipe (global batch 28, Σc=448) OOMs
+        v5e HBM at 19.1/15.75 GB; with remat the residual is the 1/4-res
+        input list and the (now MXU-cheap) upsample recomputes in backward."""
+
+        def inner(feats_or_logits, graphs, proto, targets):
+            logits_list, labels_list = [], []
+            for i, (lg, lb) in enumerate(zip(feats_or_logits, targets)):
+                if lg is None:
+                    continue
+                if proto is not None:
+                    # (f·Pᵀ)·Gᵀ ≡ f·(Pᵀ·Gᵀ): P is (M, D), G is (n_i, M)
+                    fold = jnp.einsum(
+                        "md,cm->dc", proto.astype(jnp.float32),
+                        graphs[i].astype(jnp.float32),
+                    )
+                    rl = jnp.einsum(
+                        "bhwd,dc->bhwc", lg, fold.astype(lg.dtype),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    rl = remap_logits(lg, graphs[i])
+                b, h, w, c = rl.shape
+                # MXU two-tap-matrix resize: the gather lowering of the
+                # ac=True upsample was ~25% of the flagship SEG step (r5)
+                rl = resize_bilinear_ac_mm(rl, (h * upscale, w * upscale))
+                logits_list.append(rl)
+                labels_list.append(lb.astype(jnp.int32))
+            return self.mds_ohem(logits_list, labels_list)
+
+        return jax.checkpoint(inner)(feats_or_logits, graphs, proto, targets)
 
     # ------------------------------------------------------------ main
     def __call__(
@@ -219,11 +229,15 @@ class CrossDatasetsCELossAdvGNN:
                 if aux_logits[i] is None or targets[i] is None:
                     continue
                 al = aux_logits[i]
-                b, h, w, c = al.shape
-                al = resize_bilinear_ac_mm(
-                    al, (targets[i].shape[1], targets[i].shape[2])
+                size = (targets[i].shape[1], targets[i].shape[2])
+                # remat for the same reason as _remap_ce: don't save the
+                # full-res aux volume as a CE-backward residual
+                aux_fn = jax.checkpoint(
+                    lambda a, t, s=size: self.ohem(
+                        resize_bilinear_ac_mm(a, s), t
+                    )
                 )
-                aux_total = aux_total + self.ohem(al, targets[i].astype(jnp.int32))
+                aux_total = aux_total + aux_fn(al, targets[i].astype(jnp.int32))
             loss = loss + self.aux_weight * aux_total
             metrics["aux_loss"] = aux_total
 

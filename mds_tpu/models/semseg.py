@@ -82,6 +82,12 @@ class SemsegModel(nn.Module):
     def from_configer(cls, configer, dtype=jnp.float32, **kw):
         n = configer.n_datasets
         bk = {}
+        # gradient checkpointing per residual block — the reference builds
+        # SwiftNet with efficient=True unconditionally (semseg.py:59,:276 →
+        # resnet_pyramid.py do_efficient_fwd); without it the 7-dataset
+        # recipe's saved backbone activations (global batch 28 at 768²)
+        # exceed v5e HBM. network.efficient=false opts out.
+        bk["remat"] = bool(configer.get("network", "efficient", default=True))
         for key, field in (("layers", "backbone_layers"),
                            ("planes", "backbone_planes"),
                            ("num_features", "backbone_features"),

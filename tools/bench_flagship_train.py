@@ -17,6 +17,7 @@ Prints one JSON line per stage:
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -30,7 +31,8 @@ import numpy as np
 
 
 def run(config: str = "configs/ltbgnn_3_datasets_snp.json",
-        iters: int = 8, tiny: bool = False):
+        iters: int = 8, tiny: bool = False, seg_only: bool = False,
+        metric_prefix: str = "flagship"):
     """Build + time both flagship stage steps; returns the metric dicts.
     Importable (bench.py reuses it for the driver-tracked record)."""
     from mds_tpu.config import Configer
@@ -79,17 +81,21 @@ def run(config: str = "configs/ltbgnn_3_datasets_snp.json",
         return sorted(runs)[1], runs
 
     # --- SEG stage step (backbone+prototype-head backward, AdamW) ---------
-    @jax.jit
-    def seg_loop(state):
+    # ims/lbs enter as ARGUMENTS, not closure constants: XLA embeds closed-
+    # over images as constant literals in the consumer's lane-padded layout
+    # (bf16[4,768,768,3] → 42.7× expansion, 576 MB each — measured in the
+    # 7-dataset OOM report), arguments stay in their natural layout.
+    @functools.partial(jax.jit, donate_argnums=())
+    def seg_loop(state, ims, lbs):
         def body(i, st):
             st, _ = t._seg_step(st, t.seg_buffers, ims, lbs)
             return st
 
         return jax.lax.fori_loop(0, n_iters, body, state).params
 
-    sps, runs = timed(seg_loop, t.seg_state)
+    sps, runs = timed(lambda st: seg_loop(st, ims, lbs), t.seg_state)
     records = [{
-        "metric": "flagship_seg_imgs_per_sec",
+        "metric": f"{metric_prefix}_seg_imgs_per_sec",
         "value": round(sps * sum(bs), 2),
         "unit": "imgs/s/chip",
         "steps_per_sec": round(sps, 3),
@@ -97,9 +103,12 @@ def run(config: str = "configs/ltbgnn_3_datasets_snp.json",
         "runs": [round(r * sum(bs), 2) for r in runs],
     }]
 
+    if seg_only:
+        return records
+
     # --- GNN stage step (frozen-seg features fwd + GNN backward) ----------
-    @jax.jit
-    def gnn_loop(state):
+    @functools.partial(jax.jit, donate_argnums=())
+    def gnn_loop(state, ims, lbs):
         def body(i, st):
             st, _ = t._gnn_step(
                 st, t.seg_state, t.seg_buffers, t.node_features, ims, lbs,
@@ -110,9 +119,9 @@ def run(config: str = "configs/ltbgnn_3_datasets_snp.json",
 
         return jax.lax.fori_loop(0, n_iters, body, state).params
 
-    gps, runs = timed(gnn_loop, t.gnn_state)
+    gps, runs = timed(lambda st: gnn_loop(st, ims, lbs), t.gnn_state)
     records.append({
-        "metric": "flagship_gnn_steps_per_sec",
+        "metric": f"{metric_prefix}_gnn_steps_per_sec",
         "value": round(gps, 3),
         "unit": "steps/s/chip",
         "global_batch": sum(bs),
@@ -130,6 +139,11 @@ def main():
         help="64×64 crop, bs1 — CPU smoke test of the bench itself",
     )
     ap.add_argument(
+        "--seg-only", action="store_true",
+        help="time only the SEG-stage step (the 7-dataset recipe's GNN "
+        "stage is identical in kind to the 3-dataset one)",
+    )
+    ap.add_argument(
         "--cpu", action="store_true",
         help="force the CPU backend (sitecustomize pins the tunnel TPU "
         "platform; the env var alone does not override it)",
@@ -137,7 +151,8 @@ def main():
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    for rec in run(config=args.config, iters=args.iters, tiny=args.tiny):
+    for rec in run(config=args.config, iters=args.iters, tiny=args.tiny,
+                   seg_only=args.seg_only):
         print(json.dumps(rec), flush=True)
 
 
