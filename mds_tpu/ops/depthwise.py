@@ -75,17 +75,10 @@ def kernel_from_hwio(hwio: jax.Array, c_in: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-# weight-grad backend for the hybrid VJP: "einsum" = nine fused
-# multiply-reduce sweeps (below); "pallas" = single-pass VMEM kernel
-# (ops/pallas/depthwise.py depthwise3x3_wgrad_pallas) that reads x and dy
-# once instead of nine times.
-_WGRAD_IMPL = "einsum"
-
-
-def set_dw_wgrad_impl(impl: str) -> None:
-    assert impl in ("einsum", "pallas"), impl
-    global _WGRAD_IMPL
-    _WGRAD_IMPL = impl
+# Weight-grad backend: the nine fused multiply-reduce sweeps below are the
+# ONLY implementation. A single-pass Pallas VMEM kernel was tried through
+# r4-r5 and retired — see the measured negative in ops/pallas/depthwise.py
+# (346 s/call at the first GELayer shape vs ~0.6 ms here).
 
 
 def _dw_conv_xla(x: jax.Array, w_hwio: jax.Array, stride: int) -> jax.Array:
@@ -115,11 +108,6 @@ def _dw_hybrid_bwd(stride, res, dy):
     # input-grad: XLA's transposed grouped conv is already fast — reuse it
     _, pullback = jax.vjp(lambda x_: _dw_conv_xla(x_, w_hwio, stride), x)
     dx = pullback(dy)[0]
-    if _WGRAD_IMPL == "pallas":
-        from mds_tpu.ops.pallas.depthwise import depthwise3x3_wgrad_pallas
-
-        gw = depthwise3x3_wgrad_pallas(x, dy, stride)
-        return dx, gw.astype(w_hwio.dtype)
     # weight-grad: gw[ky,kx,c,j] = Σ_{b,h,w} x_tap[...,c] · dy[...,c,j]
     # — nine strided-slice + multiply + full reduce passes that XLA fuses
     # into single memory-bound sweeps (f32 accumulation).

@@ -77,7 +77,7 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     args = ap.parse_args()
 
-    from mds_tpu.ops import depthwise as dwm
+
     from mds_tpu.ops.depthwise import (
         depthwise_conv3x3,
         depthwise_conv3x3_hybrid,
@@ -87,7 +87,7 @@ def main():
     rng = np.random.default_rng(0)
     tot = {"fwd": 0.0, "gx": 0.0, "gw": 0.0}
     tot_taps = {"fwd": 0.0, "gx": 0.0, "gw": 0.0}
-    tot_gw = {"einsum": 0.0, "pallas": 0.0}
+    tot_gw = {"einsum": 0.0}
     for name, B, H, W, C, M, S in SHAPES:
         x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.bfloat16)
         w = jnp.asarray(rng.standard_normal((3, 3, 1, C * M)), jnp.bfloat16)
@@ -98,22 +98,19 @@ def main():
         def fwd_taps(x, w, S=S, C=C):
             return depthwise_conv3x3(x, kernel_from_hwio(w, C), S)
 
-        # hybrid weight-grad backends head-to-head
+        # hybrid weight-grad (einsum sweeps — the only backend; the Pallas
+        # wgrad kernel was retired in r5, see ops/pallas/depthwise.py)
         gw_ms = {}
-        for impl in ("einsum", "pallas"):
-            dwm.set_dw_wgrad_impl(impl)
-            gw_ms[impl] = time_fn(
-                jax.grad(
-                    lambda x, w, S=S: depthwise_conv3x3_hybrid(x, w, S)
-                    .astype(jnp.float32).sum(),
-                    argnums=1,
-                ),
-                x, w, iters=args.iters,
-            )
-            tot_gw[impl] += gw_ms[impl]
-        dwm.set_dw_wgrad_impl("einsum")
-        print(f"{name:12s} wgrad einsum/pallas = "
-              f"{gw_ms['einsum']:.3f}/{gw_ms['pallas']:.3f} ms")
+        gw_ms["einsum"] = time_fn(
+            jax.grad(
+                lambda x, w, S=S: depthwise_conv3x3_hybrid(x, w, S)
+                .astype(jnp.float32).sum(),
+                argnums=1,
+            ),
+            x, w, iters=args.iters,
+        )
+        tot_gw["einsum"] += gw_ms["einsum"]
+        print(f"{name:12s} wgrad einsum = {gw_ms['einsum']:.3f} ms")
 
         rows = {}
         for tag, f in (("xla", fwd), ("taps", fwd_taps)):
@@ -128,8 +125,7 @@ def main():
               f"taps = {rows['taps'][0]:.3f}/{rows['taps'][1]:.3f}/{rows['taps'][2]:.3f} ms")
     print(f"TOTALS xla  f={tot['fwd']:.2f} gx={tot['gx']:.2f} gw={tot['gw']:.2f} ms")
     print(f"TOTALS taps f={tot_taps['fwd']:.2f} gx={tot_taps['gx']:.2f} gw={tot_taps['gw']:.2f} ms")
-    print(f"TOTALS hybrid-wgrad einsum={tot_gw['einsum']:.2f} "
-          f"pallas={tot_gw['pallas']:.2f} ms")
+    print(f"TOTALS hybrid-wgrad einsum={tot_gw['einsum']:.2f} ms")
 
 
 if __name__ == "__main__":
