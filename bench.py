@@ -43,8 +43,12 @@ R4_FLAGSHIP_BASE = {
 
 def _median3(run_once) -> tuple:
     """Pinned methodology (since r2): warmup, then 3 chained-loop runs;
-    report the MEDIAN and every run so tunnel jitter is visible."""
+    report the MEDIAN and every run so tunnel jitter is visible. Two
+    warmups since r5: the first dispatch after a large compile burst
+    measured 30-40% slow with high variance (r5 full-bench headline read
+    88-118 FPS while the isolated bench read a stable 155-157)."""
     run_once(0)  # compile + warmup
+    run_once(0)  # second warmup: absorb post-compile transients
     runs = []
     for rep in range(3):
         t0 = time.perf_counter()
