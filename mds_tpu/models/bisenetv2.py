@@ -54,11 +54,13 @@ class DetailBranch(nn.Module):
         s1_1 = ConvBNReLU(64, 3, stride=2, name="S1_1", **cfg)
         s1_2 = ConvBNReLU(64, 3, name="S1_2", **cfg)
         s2_1 = ConvBNReLU(64, 3, stride=2, name="S2_1", **cfg)
+        from mds_tpu.ops.pallas.stem import get_stem_th
+
         fuse = (
             not train and get_detail_fuse() and self.dtype == jnp.bfloat16
             and all(
                 x is None
-                or (x.shape[-1] == 3 and x.shape[1] % 16 == 0
+                or (x.shape[-1] == 3 and x.shape[1] % (2 * get_stem_th()) == 0
                     and x.shape[2] % 4 == 0)
                 for x in xs
             )
@@ -140,11 +142,13 @@ class StemBlock(nn.Module):
         left_1 = ConvBNReLU(8, 1, name="left_1", **cfg)
         left_2 = ConvBNReLU(16, 3, stride=2, name="left_2", **cfg)
         fuse_conv = ConvBNReLU(16, 3, name="fuse", **cfg)
+        from mds_tpu.ops.pallas.stem import get_stem_th
+
         fuse = (
             not train and get_detail_fuse() and self.dtype == jnp.bfloat16
             and all(
                 x is None
-                or (x.shape[-1] == 3 and x.shape[1] % 16 == 0
+                or (x.shape[-1] == 3 and x.shape[1] % (2 * get_stem_th()) == 0
                     and x.shape[2] % 4 == 0)
                 for x in xs
             )

@@ -628,6 +628,12 @@ def detail_s1s2_fused(x: jax.Array,
             pltpu.VMEM((th + 4, w2 + 2, 64), jnp.bfloat16),
             pltpu.VMEM((th + 2, w2 + 2, 64), jnp.float32),
         ],
+        # th=16 at W=2048 needs ~27 MB of scoped VMEM (f32 S1_2 scratch
+        # dominates) — above Mosaic's 16 MB default, well under the 128 MB
+        # physical VMEM; the bigger tile halves the per-tile halo recompute
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=40 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(*tiles_c, w1, w2m, b2, w3m, b3)
     return out.reshape(b, h4, w4, 64)
@@ -832,6 +838,11 @@ def stemblock_fused(x: jax.Array,
             pltpu.VMEM((2 * th4 + 5, w2 + 2, 24), jnp.float32),
             pltpu.VMEM((th4 + 2, w4 + 2, 32), jnp.bfloat16),
         ],
+        # th=16 at W=2048 needs ~18 MB scoped VMEM (f32 stem scratch);
+        # above the 16 MB default, trivial vs 128 MB physical
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=40 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(*tiles_c, wm, l1w, l1b, l2w, l2b, fw, fb)
     return out.reshape(b, h4, w4, 16)
@@ -1234,7 +1245,10 @@ _STEM_VARIANT = "tiles"  # "tiles" | "dma"
 
 # Output rows per grid step (at the /2 resolution). One global so every
 # stem-family kernel keeps the SAME tile geometry (the CSE contract above).
-_STEM_TH = 8
+# th=16 since r5 (needs the raised scoped-vmem caps on the fused kernels):
+# halves the per-tile halo recompute — measured in-graph on v5e 2026-08-21,
+# BiSeNetV2 deploy 156.6 → 164.5 FPS, BiSeNetV1 ~157 → 161.4 FPS.
+_STEM_TH = 16
 
 
 def set_stem_variant(v: str) -> None:
