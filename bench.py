@@ -38,6 +38,9 @@ R2_TRAIN_IMGS_PER_SEC = 97.8  # r2 measured value (PARITY.md) — regression pin
 R4_FLAGSHIP_BASE = {
     "flagship_seg_imgs_per_sec": 53.73,  # measured 2026-08-19 pre-fold
     "flagship_gnn_steps_per_sec": 6.44,
+    # r5 first-execution pin (2026-08-21): the 7-dataset recipe's SEG stage
+    # at full size (remat + loss-checkpoint memory fixes made it fit HBM)
+    "flagship7_seg_imgs_per_sec": 53.7,
 }
 
 
