@@ -296,7 +296,18 @@ def test_cli_gnn_path_uses_data_mesh(tmp_path, monkeypatch):
 
     monkeypatch.setattr(mesh_mod, "shard_batch", spy_shard_batch)
 
-    import tools.train as train_cli
+    # load OUR CLI by absolute path: the parity tests put /root/reference at
+    # sys.path[0], whose tools/ package would otherwise shadow this repo's
+    # in a shared --runslow process (its train.py imports nvidia.dali)
+    import importlib.util
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "mds_train_cli", os.path.join(repo_root, "tools", "train.py")
+    )
+    train_cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(train_cli)
 
     monkeypatch.setattr(
         sys, "argv",
