@@ -59,6 +59,9 @@ class Resnet18(nn.Module):
             not train and _STEM_IMPL == "pallas"
             and self.dtype == jnp.bfloat16 and x.shape[-1] == 3
             and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+            # Mosaic rejects the kernel's stage dots below 256 output lanes
+            # ("unsupported shape cast", probed r5: W=384 fails, W≥512 ok)
+            and x.shape[2] >= 512
         )
         if fuse:
             # deploy path: the 7×7/s2 RGB stem is XLA's worst op in the V1

@@ -318,7 +318,11 @@ class SwiftNetPyramid(nn.Module):
             and all(
                 x is None
                 or (x.shape[-1] == 3 and x.shape[1] % 2 ** lvls == 0
-                    and x.shape[2] % 2 ** lvls == 0)
+                    and x.shape[2] % 2 ** lvls == 0
+                    # the DEEPEST pyramid level (W / 2^(lvls-1)) must still
+                    # give the kernel ≥ 256 output lanes — Mosaic rejects
+                    # its stage dots below that (probed r5: W=384 fails)
+                    and x.shape[2] // (2 ** (lvls - 1)) >= 512)
                 for x in xs
             )
         )
