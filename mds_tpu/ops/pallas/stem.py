@@ -518,7 +518,11 @@ def _detail_kernel(xu0, xu1, xu2, w1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
         s1_ref[th + 2 :, :, :] = jnp.zeros((2, w2 + 2, 64), jnp.bfloat16)
 
     # stage B: S1_2 rows (taps PAIRED on the contraction axis — K=64 dots
-    # waste half the 128-deep MXU; pairs share dx so sublane offsets match)
+    # waste half the 128-deep MXU; pairs MUST share dx: a 4-pairs+1-single
+    # cross-dx packing was tried in r5 and Mosaic rejects it — "result/
+    # input offset mismatch on non-concat dimension" — taps at different
+    # column offsets cannot be concatenated on the channel axis without an
+    # aligning copy that would cost the saved MXU passes)
     def tap(dy, dx):
         return s1_ref[dy : dy + nb, dx : dx + w2, :]
 
