@@ -373,7 +373,11 @@ def main():
               file=sys.stderr)
     jax.clear_caches()
     try:
-        extras.extend(bench_flagship_7ds())
+        for rec in bench_flagship_7ds():
+            base = R4_FLAGSHIP_BASE.get(rec["metric"])
+            if base:
+                rec["vs_baseline"] = round(rec["value"] / base, 3)
+            extras.append(rec)
     except Exception as e:
         print(f"# 7-ds flagship bench failed ({type(e).__name__}: {e})",
               file=sys.stderr)
